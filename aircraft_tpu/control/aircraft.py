@@ -1,0 +1,158 @@
+"""Aircraft trajectory-optimisation problem builders.
+
+The constraint envelope mirrors `AircraftControl` (reference
+control/aircraft.py:29-59): control-surface bounds, airspeed window,
+sideslip/attack-angle limits, altitude floor.  Costs mirror the flagship
+goal-seeking controller (reference main/control/control.py:19-70).
+
+Everything is expressed as `OCPFunctions` for the AL-iLQR solver; the
+per-node `ca.Opti` constraint registration of the reference becomes four
+pure functions evaluated at every knot by `vmap`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aircraft_tpu.config import ControlEnvelope, StateEnvelope, TrajectoryConfig
+from aircraft_tpu.dynamics import aircraft as ac
+from aircraft_tpu.dynamics.aircraft import AircraftParams
+from aircraft_tpu.solvers import integrators
+from aircraft_tpu.solvers.ocp import OCPFunctions
+
+
+def envelope_ineq(
+    params: AircraftParams,
+    state_env: StateEnvelope,
+    control_env: ControlEnvelope,
+    *,
+    speed_bounds: tuple[float, float] = (20.0, 100.0),
+    alpha_limit_deg: float = 20.0,
+    beta_limit_deg: float = 10.0,
+) -> Callable:
+    """Stage inequality g(x,u,k) <= 0 bundling the flight envelope.
+
+    Matches the reference's active set (control/aircraft.py:44-59):
+    airspeed² window, |β|, |α|, z < 0, plus the control box
+    (control/aircraft.py:29-41).
+    """
+    lb, ub = control_env.bounds(7)
+    lb = jnp.asarray(lb, jnp.float32)
+    ub = jnp.asarray(ub, jnp.float32)
+    alpha_lim = float(np.deg2rad(alpha_limit_deg))
+    beta_lim = float(np.deg2rad(beta_limit_deg))
+    lo2, hi2 = speed_bounds[0] ** 2, speed_bounds[1] ** 2
+
+    def ineq(x, u, k):
+        aero = ac.aero_state(params, x, u)
+        v2 = 2.0 * aero.qbar / 1.225
+        return jnp.concatenate(
+            [
+                u - ub,
+                lb - u,
+                jnp.stack(
+                    [
+                        lo2 - v2,
+                        v2 - hi2,
+                        aero.beta - beta_lim,
+                        -beta_lim - aero.beta,
+                        aero.alpha - alpha_lim,
+                        -alpha_lim - aero.alpha,
+                        x[2],  # z < 0 (NED altitude floor)
+                    ]
+                ),
+            ]
+        )
+
+    return ineq
+
+
+def goal_cost(
+    goal: jax.Array,
+    *,
+    w_goal: float = 1.0,
+    w_control: float = 0.01,
+    w_rate: float = 0.0,
+) -> tuple[Callable, Callable]:
+    """Point-to-point losses in the style of the flagship controller
+    (reference main/control/control.py:35-70): terminal goal distance +
+    control effort."""
+    goal = jnp.asarray(goal)
+
+    def stage(x, u, k):
+        return w_control * jnp.sum((u[:3] / 10.0) ** 2)
+
+    def terminal(x):
+        return w_goal * jnp.sum((x[:3] - goal) ** 2)
+
+    return stage, terminal
+
+
+def build_aircraft_ocp(
+    params: AircraftParams,
+    config: TrajectoryConfig,
+    *,
+    dt: float,
+    stage_cost: Callable,
+    terminal_cost: Callable,
+    substeps: int = 1,
+    quaternion: str = "integration",
+    wind: Optional[jax.Array] = None,
+    extra_ineq: Optional[Callable] = None,
+    terminal_ineq: Optional[Callable] = None,
+    terminal_eq: Optional[Callable] = None,
+) -> OCPFunctions:
+    """Assemble the glider OCP.
+
+    `quaternion` follows the reference option axis (control/base.py:288-304):
+      'integration'  renormalise inside the integrator (default, and the
+                     TPU-native choice — exact on SO(3) via 'expmap')
+      'expmap'       exponential-map update
+      'constraint'   leave the norm to an equality constraint
+      ''             nothing (drift allowed)
+    """
+    normalize = {
+        "integration": "step",
+        "expmap": "expmap",
+        "constraint": "none",
+        "baumgarte": "none",
+        "": "none",
+    }[quaternion]
+    deriv = (lambda x, u: ac.state_derivative(params, x, u, wind)) if wind is not None else None
+    step = integrators.make_step_fn(
+        params, substeps=substeps, normalize=normalize, derivative_fn=deriv
+    )
+
+    env_ineq = envelope_ineq(params, config.state, config.control)
+
+    def ineq(x, u, k):
+        g = env_ineq(x, u, k)
+        if extra_ineq is not None:
+            g = jnp.concatenate([g, extra_ineq(x, u, k)])
+        return g
+
+    if quaternion in ("constraint", "baumgarte"):
+        def eq(x, u, k):
+            return jnp.atleast_1d(jnp.sum(x[6:10] ** 2) - 1.0)
+    else:
+        def eq(x, u, k):
+            return jnp.zeros((0,), dtype=x.dtype)
+
+    kwargs = {}
+    if terminal_ineq is not None:
+        kwargs["terminal_ineq"] = terminal_ineq
+    if terminal_eq is not None:
+        kwargs["terminal_eq"] = terminal_eq
+
+    return OCPFunctions(
+        step=lambda x, u, k: step(x, u, dt),
+        stage_cost=stage_cost,
+        terminal_cost=terminal_cost,
+        ineq=ineq,
+        eq=eq,
+        **kwargs,
+    )

@@ -1,0 +1,263 @@
+"""Waypoint traversal via complementarity progress variables.
+
+Implements the Foehn et al. time-optimal progress scheme the reference uses
+(reference control/waypoints.py:58-80, after
+https://rpg.ifi.uzh.ch/docs/ScienceRobotics21_Foehn.pdf) — but mapped onto
+the AL-iLQR solver's structure instead of an interior-point NLP:
+
+  * per-waypoint progress λ_j becomes an **augmented state** with dynamics
+    λ⁺ = λ − μ (the reference's equality λ⁺ − λ + μ = 0),
+  * the passage impulse μ_j becomes an **augmented control**,
+  * complementarity  μ_j · (‖p − w_j‖² − ν_j) = 0  with 0 ≤ ν_j ≤ tol²
+    becomes the stage inequality  μ_j · (‖p − w_j‖² − tol²) ≤ 0  handled by
+    the augmented Lagrangian (penalty tightening plays the role of IPOPT's
+    barrier — SURVEY §7 hard part 1),
+  * ordering λ_j ≤ λ_{j+1} and the boundary conditions λ(0) = 1, λ(T) = 0
+    are stage/terminal constraints.
+
+Optionally the timestep becomes a control too (`time='progress'`:
+dt_k = 1/ν_k², reference control/base.py:361-379), yielding time-optimal
+waypoint racing.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aircraft_tpu.config import SolverConfig, TrajectoryConfig
+from aircraft_tpu.control.aircraft import envelope_ineq
+from aircraft_tpu.dynamics.aircraft import AircraftParams
+from aircraft_tpu.solvers import ilqr, integrators
+from aircraft_tpu.solvers.ocp import OCPFunctions
+
+
+def build_waypoint_ocp(
+    params: AircraftParams,
+    config: TrajectoryConfig,
+    *,
+    dt: float,
+    num_nodes: int,
+    substeps: int = 1,
+    time_mode: str = "fixed",           # 'fixed' | 'progress'
+    dt_bounds: tuple[float, float] = (1e-3, 5e-2),
+    w_effort: float = 0.05,
+    w_time: float = 1.0,
+    w_mu: float = 1e-3,
+) -> OCPFunctions:
+    """Augmented OCP:
+      state  z = [x(13), λ(n_wp)]
+      control v = [u(7), μ(n_wp)] (+ [ν] when time_mode='progress')
+    """
+    wps = jnp.asarray(config.waypoints.array(), dtype=jnp.float32)      # (n_wp, 3)
+    n_wp = wps.shape[0]
+    # reference uses the declared objective dimensions only
+    # (waypoints.py:65-76: distance over waypoint_indices)
+    wp_idx = jnp.asarray(config.waypoints.waypoint_indices, dtype=jnp.int32)
+    tol2 = jnp.asarray(config.waypoints.tolerance**2, dtype=jnp.float32)
+
+    step13 = integrators.make_step_fn(params, substeps=substeps, normalize="step")
+    env = envelope_ineq(params, config.state, config.control)
+    progress_time = time_mode == "progress"
+
+    def split(z, v):
+        x, lam = z[..., :13], z[..., 13 : 13 + n_wp]
+        u, mu = v[..., :7], v[..., 7 : 7 + n_wp]
+        if progress_time:
+            nu = v[..., 7 + n_wp]
+            dt_k = 1.0 / (nu * nu + 1e-9)
+        else:
+            dt_k = dt
+        return x, lam, u, mu, dt_k
+
+    def wp_dist2(x):
+        diff = (x[..., None, :3] - wps)[..., wp_idx]  # use declared dims only
+        return jnp.sum(diff * diff, axis=-1)          # (..., n_wp)
+
+    def step(z, v, k):
+        x, lam, u, mu, dt_k = split(z, v)
+        x_next = step13(x, u, dt_k)
+        lam_next = lam - mu
+        return jnp.concatenate([x_next, lam_next], axis=-1)
+
+    def stage_cost(z, v, k):
+        x, lam, u, mu, dt_k = split(z, v)
+        c = w_effort * jnp.sum(u[:3] * u[:3]) + w_mu * jnp.sum(mu * mu)
+        if progress_time:
+            c = c + w_time * dt_k  # minimise total time
+        return c
+
+    def terminal_cost(z):
+        return jnp.asarray(0.0, dtype=z.dtype)
+
+    def ineq(z, v, k):
+        x, lam, u, mu, dt_k = split(z, v)
+        g_env = env(x, u, k)
+        d2 = wp_dist2(x)
+        # complementarity (≤ 0 under AL), scaled by tol² so the AL penalty
+        # stays in a float32-friendly range for waypoints hundreds of
+        # meters away (relative-violation scaling)
+        comp = mu * (d2 - tol2) / jnp.maximum(tol2, 1.0)
+        parts = [
+            g_env,
+            -mu,                          # μ ≥ 0
+            -lam,                         # λ ≥ 0
+            lam - 1.0,                    # λ ≤ 1
+            lam[:-1] - lam[1:],           # ordering λ_j ≤ λ_{j+1}
+            comp,
+        ]
+        if progress_time:
+            nu = v[..., 7 + n_wp]
+            lo = 1.0 / np.sqrt(dt_bounds[1])
+            hi = 1.0 / np.sqrt(dt_bounds[0])
+            parts.append(jnp.stack([lo - nu, nu - hi]))
+        return jnp.concatenate(parts, axis=-1)
+
+    def terminal_eq(z):
+        # every waypoint consumed: λ(T) = 0 (reference boundary condition)
+        return z[..., 13 : 13 + n_wp]
+
+    return OCPFunctions(
+        step=step,
+        stage_cost=stage_cost,
+        terminal_cost=terminal_cost,
+        ineq=ineq,
+        terminal_eq=terminal_eq,
+    )
+
+
+def initial_guess(
+    config: TrajectoryConfig,
+    num_nodes: int,
+    *,
+    time_mode: str = "fixed",
+    dt: float = 0.01,
+) -> tuple[jax.Array, jax.Array]:
+    """(z0, vs_init): λ₀ = 1; μ spikes at the switching nodes estimated from
+    cumulative waypoint distances (the reference's initialisation heuristic,
+    waypoints.py:159-224)."""
+    n_wp = len(config.waypoints.waypoints)
+    x0 = jnp.asarray(config.waypoints.initial_state, dtype=jnp.float32)
+    z0 = jnp.concatenate([x0, jnp.ones(n_wp, dtype=jnp.float32)])
+
+    cum = config.waypoints.cumulative_distances()
+    i_switch = np.minimum(
+        (num_nodes * cum[1:] / max(cum[-1], 1e-9)).astype(int), num_nodes - 1
+    )
+    m = 7 + n_wp + (1 if time_mode == "progress" else 0)
+    vs = np.zeros((num_nodes, m), dtype=np.float32)
+    for j, i in enumerate(i_switch):
+        vs[i, 7 + j] = 1.0
+    if time_mode == "progress":
+        vs[:, -1] = 1.0 / np.sqrt(dt)
+    return z0, jnp.asarray(vs)
+
+
+def tracking_warm_start(
+    params: AircraftParams,
+    config: TrajectoryConfig,
+    *,
+    num_nodes: int,
+    dt: float,
+    substeps: int = 1,
+    trim_control: Optional[jax.Array] = None,
+    solver_config: Optional[SolverConfig] = None,
+) -> jax.Array:
+    """Stage-A solve: smooth path-following onto the Dubins reference
+    positions — the role of the reference's `DubinsInitialiser` warm start
+    (initialisation feeds the NLP there; here it feeds a cheap unconstrained
+    tracking solve whose CONTROLS become the warm start, since single-
+    shooting iLQR cannot seed states directly).
+
+    Returns (num_nodes, 7) controls.
+    """
+    from aircraft_tpu.control.initialisation import DubinsInitialiser
+
+    init = DubinsInitialiser(config)
+    ref = jnp.asarray(init.state_guess(num_nodes), dtype=jnp.float32)  # (N+1, 13)
+    step13 = integrators.make_step_fn(params, substeps=substeps, normalize="step")
+
+    def step(x, u, k):
+        return step13(x, u, dt)
+
+    def stage_cost(x, u, k):
+        r = ref[k + 1]
+        pos = jnp.sum((x[:3] - r[:3]) ** 2)
+        vel = jnp.sum((x[3:6] - r[3:6]) ** 2)
+        return 1e-2 * pos + 1e-2 * vel + 1e-3 * jnp.sum(u[:3] ** 2)
+
+    ocp = OCPFunctions(
+        step=step,
+        stage_cost=stage_cost,
+        terminal_cost=lambda x: jnp.sum((x[:3] - ref[-1, :3]) ** 2) * 1e-2,
+    )
+    x0 = jnp.asarray(config.waypoints.initial_state, dtype=jnp.float32)
+    if trim_control is None:
+        us0 = jnp.zeros((num_nodes, 7), dtype=jnp.float32)
+    else:
+        us0 = jnp.tile(jnp.asarray(trim_control, jnp.float32)[None, :7], (num_nodes, 1))
+    cfg = solver_config or SolverConfig(max_al_iters=1, max_inner_iters=30)
+    sol = ilqr.solve(ocp, x0, us0, cfg)
+    return sol.us
+
+
+def solve_waypoint_racing(
+    params: AircraftParams,
+    config: TrajectoryConfig,
+    *,
+    num_nodes: int = 100,
+    dt: float = 0.02,
+    substeps: int = 1,
+    time_mode: str = "fixed",
+    solver_config: Optional[SolverConfig] = None,
+    warm_start: bool = True,
+) -> ilqr.ILQRSolution:
+    """End-to-end waypoint traversal solve (the reference's `WaypointControl`
+    flow): Dubins-guided tracking warm start, then the complementarity OCP.
+    """
+    ocp = build_waypoint_ocp(
+        params, config, dt=dt, num_nodes=num_nodes, substeps=substeps,
+        time_mode=time_mode,
+    )
+    z0, vs = initial_guess(config, num_nodes, time_mode=time_mode, dt=dt)
+
+    if warm_start:
+        from aircraft_tpu.solvers.trim import multistart_trim
+
+        # trim the plant AS FLOWN (fixed CoM) — a CoM-trim would prescribe an
+        # elevator setting that is out of trim for the configured CoM
+        trim = multistart_trim(
+            params, jax.random.PRNGKey(0),
+            n_starts=32,
+            target_airspeed=float(config.waypoints.default_velocity),
+        )
+        us_track = tracking_warm_start(
+            params, config, num_nodes=num_nodes, dt=dt, substeps=substeps,
+            trim_control=trim.control,
+        )
+        vs = vs.at[:, :7].set(us_track)
+        # re-place the μ passage impulses at the tracked trajectory's
+        # closest-approach nodes (reference switching-node heuristic)
+        step13 = integrators.make_step_fn(params, substeps=substeps, normalize="step")
+        x0 = z0[:13]
+        from aircraft_tpu.solvers.rollout import rollout as _rollout
+
+        xs_track = _rollout(step13, x0, us_track, dt)
+        wps = np.asarray(config.waypoints.array())
+        n_wp = wps.shape[0]
+        vs_np = np.array(vs)  # writable copy
+        vs_np[:, 7 : 7 + n_wp] = 0.0
+        prev = 0
+        for j in range(n_wp):
+            d = np.linalg.norm(np.asarray(xs_track[:-1, :3]) - wps[j], axis=1)
+            d[:prev] = np.inf  # keep passage order
+            i = int(np.argmin(d))
+            vs_np[i, 7 + j] = 1.0
+            prev = i
+        vs = jnp.asarray(vs_np)
+
+    cfg = solver_config or SolverConfig(max_al_iters=8, max_inner_iters=25)
+    return ilqr.solve(ocp, z0, vs, cfg)

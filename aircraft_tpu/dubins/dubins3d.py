@@ -1,0 +1,129 @@
+"""3D Dubins maneuvers by lateral/vertical decoupling, host-side numpy.
+
+Same decomposition as the reference (reference src/aircraft/dubins/
+dubins3d.py): a horizontal Dubins path on (x, y, psi) plus a vertical
+Dubins profile on (s, z, gamma) over the horizontal arc length, with the
+curvature budget split between the two planes
+(1/r_v² = 1/rho² − 1/r_h², reference dubins3d.py:133) and a local search
+over the horizontal radius until the pitch profile fits the climb-angle
+limits (reference dubins3d.py:86-100,141-149).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import numpy as np
+
+from aircraft_tpu.dubins.dubins2d import DubinsPath, shortest_path
+
+
+@dataclass
+class DubinsManeuver3D:
+    qi: np.ndarray                # (5,) = (x, y, z, psi, gamma)
+    qf: np.ndarray                # (5,)
+    rho: float                    # minimum 3D turn radius
+    pitch_limits: tuple[float, float]
+    lateral: DubinsPath           # on (x, y, psi)
+    vertical: DubinsPath          # on (s, z, gamma)
+
+    @property
+    def length(self) -> float:
+        """Path length measured along the vertical profile (its abscissa is
+        the horizontal arc length, so its own length is the 3D length)."""
+        return self.vertical.length
+
+    def sample(self, s: float) -> np.ndarray:
+        """(x, y, z, psi, gamma) at 3D arc length s."""
+        v = self.vertical.sample(s)
+        s_h, z, gamma = v
+        lat = self.lateral.sample(s_h)
+        return np.array([lat[0], lat[1], z, lat[2], gamma])
+
+    def sample_many(self, n: int) -> np.ndarray:
+        return np.stack([self.sample(s) for s in np.linspace(0.0, self.length, n)])
+
+
+def _try_maneuver(
+    qi: np.ndarray,
+    qf: np.ndarray,
+    rho: float,
+    r_h: float,
+    pitch_limits: tuple[float, float],
+) -> Optional[DubinsManeuver3D]:
+    lateral = shortest_path(qi[[0, 1, 3]], qf[[0, 1, 3]], r_h)
+    if lateral is None:
+        return None
+
+    # curvature split: what's left for the vertical plane
+    if r_h <= rho:
+        return None
+    inv_rv_sq = 1.0 / rho**2 - 1.0 / r_h**2
+    if inv_rv_sq <= 1e-12:
+        return None
+    r_v = 1.0 / np.sqrt(inv_rv_sq)
+
+    vertical = shortest_path(
+        np.array([0.0, qi[2], qi[4]]),
+        np.array([lateral.length, qf[2], qf[4]]),
+        r_v,
+    )
+    if vertical is None:
+        return None
+
+    # reject profiles whose climb angle leaves the envelope, or that fold
+    # back in s (would make the lateral composition non-monotonic)
+    samples = vertical.sample_many(64)
+    gammas = np.arctan2(
+        np.diff(samples[:, 1]), np.maximum(np.diff(samples[:, 0]), 1e-9)
+    )
+    if np.any(np.diff(samples[:, 0]) < -1e-6):
+        return None
+    if np.any(gammas < pitch_limits[0] - 1e-3) or np.any(gammas > pitch_limits[1] + 1e-3):
+        return None
+
+    return DubinsManeuver3D(
+        qi=qi, qf=qf, rho=rho, pitch_limits=pitch_limits,
+        lateral=lateral, vertical=vertical,
+    )
+
+
+def maneuver3d(
+    qi,
+    qf,
+    rho: float,
+    pitch_limits: tuple[float, float] = (-np.deg2rad(15.0), np.deg2rad(15.0)),
+    n_radius_search: int = 16,
+) -> Optional[DubinsManeuver3D]:
+    """Best-effort 3D maneuver: local search over the horizontal radius
+    multiplier (the reference's optimisation loop, dubins3d.py:86-100),
+    keeping the shortest feasible result."""
+    qi = np.asarray(qi, dtype=float)
+    qf = np.asarray(qf, dtype=float)
+
+    best: Optional[DubinsManeuver3D] = None
+    for mult in np.geomspace(1.01, 40.0, n_radius_search):
+        m = _try_maneuver(qi, qf, rho, rho * mult, pitch_limits)
+        if m is not None and (best is None or m.length < best.length):
+            best = m
+    return best
+
+
+def straight_line_fallback(qi, qf, n: int = 64) -> np.ndarray:
+    """(n, 5) straight-line samples — the reference's per-segment fallback
+    when Dubins construction fails (reference control/initialisation.py:
+    464-475)."""
+    qi = np.asarray(qi, dtype=float)
+    qf = np.asarray(qf, dtype=float)
+    pts = np.linspace(qi[:3], qf[:3], n)
+    d = qf[:3] - qi[:3]
+    psi = np.arctan2(d[1], d[0])
+    # slope angle in the (s, z) plane, z-down convention (matches the
+    # vertical Dubins profile axes)
+    gamma = np.arctan2(d[2], np.hypot(d[0], d[1]))
+    cfg = np.zeros((n, 5))
+    cfg[:, :3] = pts
+    cfg[:, 3] = psi
+    cfg[:, 4] = gamma
+    return cfg

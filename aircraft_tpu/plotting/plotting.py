@@ -1,0 +1,165 @@
+"""Host-side trajectory visualisation (never on the solve path).
+
+Parity with the reference `TrajectoryPlotter` dashboard (reference
+src/aircraft/plotting/plotting.py): 3D position with orientation quivers and
+waypoints, Euler angles, velocities, body rates, aero angles, controls, and
+solver-convergence plots.  The reference re-plotted inside the IPOPT
+callback every 50 iterations and burned 97% of a solve's wall clock on it
+(SURVEY §6 block 1: 411 s of 423 s) — here plotting is strictly post-hoc on
+host numpy arrays.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from aircraft_tpu.ops import quaternion as quat
+from aircraft_tpu.utils import TrajectoryData
+
+
+def _euler(states: np.ndarray) -> np.ndarray:
+    import jax.numpy as jnp
+
+    return np.asarray(quat.to_euler(jnp.asarray(states[:, 6:10])))
+
+
+def plot_convergence(ax, inf_pr, inf_du):
+    """Primal/dual infeasibility vs iteration (reference plotting.py:22-32)."""
+    ax.plot(inf_pr, label="primal inf")
+    ax.plot(inf_du, label="dual inf")
+    ax.set_yscale("log")
+    ax.set_xlabel("iteration")
+    ax.legend()
+    return ax
+
+
+class TrajectoryPlotter:
+    """3×4 dashboard over a `TrajectoryData` (reference plotting.py:98-519)."""
+
+    def __init__(self, waypoints: Optional[np.ndarray] = None, dt: float = 0.01):
+        self.waypoints = waypoints
+        self.dt = dt
+
+    def plot(self, data: TrajectoryData, show: bool = False):
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        xs = np.asarray(data.state)
+        us = np.asarray(data.control) if data.control is not None else None
+        T = xs.shape[0]
+        t = np.arange(T) * self.dt if data.time is None else np.asarray(data.time)
+        if np.ndim(t) == 0 or len(np.atleast_1d(t)) != T:
+            t = np.arange(T) * self.dt
+
+        fig = plt.figure(figsize=(18, 10))
+
+        ax3d = fig.add_subplot(3, 4, (1, 6), projection="3d")
+        ax3d.plot(xs[:, 0], xs[:, 1], -xs[:, 2], "b-", lw=1)
+        # orientation quivers every ~10th sample (body x-axis)
+        import jax.numpy as jnp
+
+        idx = np.arange(0, T, max(1, T // 25))
+        fwd = np.asarray(
+            quat.rotate(jnp.asarray(xs[idx, 6:10]), jnp.asarray([1.0, 0.0, 0.0]))
+        )
+        ax3d.quiver(
+            xs[idx, 0], xs[idx, 1], -xs[idx, 2],
+            fwd[:, 0], fwd[:, 1], -fwd[:, 2],
+            length=8.0, color="r", normalize=True,
+        )
+        if self.waypoints is not None:
+            w = np.asarray(self.waypoints)
+            ax3d.scatter(w[:, 0], w[:, 1], -w[:, 2], c="g", s=60, marker="o")
+        ax3d.set_xlabel("N [m]"); ax3d.set_ylabel("E [m]"); ax3d.set_zlabel("alt [m]")
+        ax3d.set_title("trajectory")
+
+        eul = _euler(xs)
+        ax = fig.add_subplot(3, 4, 3)
+        for i, n in enumerate(["phi", "theta", "psi"]):
+            ax.plot(t, np.rad2deg(eul[:, i]), label=n)
+        ax.legend(); ax.set_title("attitude [deg]")
+
+        ax = fig.add_subplot(3, 4, 4)
+        for i, n in enumerate(["vx", "vy", "vz"]):
+            ax.plot(t, xs[:, 3 + i], label=n)
+        ax.plot(t, np.linalg.norm(xs[:, 3:6], axis=1), "k--", label="|v|")
+        ax.legend(); ax.set_title("velocity [m/s]")
+
+        ax = fig.add_subplot(3, 4, 7)
+        for i, n in enumerate(["p", "q", "r"]):
+            ax.plot(t, xs[:, 10 + i], label=n)
+        ax.legend(); ax.set_title("body rates [rad/s]")
+
+        ax = fig.add_subplot(3, 4, 8)
+        ax.plot(t, -xs[:, 2])
+        ax.set_title("altitude [m]")
+
+        if us is not None and us.shape[0] > 0:
+            tu = t[: us.shape[0]]
+            ax = fig.add_subplot(3, 4, 9)
+            for i, n in enumerate(["aileron", "elevator", "rudder"]):
+                ax.plot(tu, us[:, i], label=n)
+            ax.legend(); ax.set_title("surfaces")
+            if us.shape[1] > 6:
+                ax = fig.add_subplot(3, 4, 10)
+                ax.plot(tu, us[:, 6], label="flaps")
+                ax.legend(); ax.set_title("flaps")
+
+        ax = fig.add_subplot(3, 4, 11)
+        speed = np.linalg.norm(xs[:, 3:6], axis=1)
+        alpha = np.arctan2(xs[:, 5], np.maximum(xs[:, 3], 1e-6))
+        ax.plot(t, np.rad2deg(alpha), label="alpha*")
+        ax.plot(t, speed, label="|v|")
+        ax.legend(); ax.set_title("aero (inertial approx)")
+
+        if data.lam is not None:
+            ax = fig.add_subplot(3, 4, 12)
+            lam = np.asarray(data.lam)
+            for j in range(lam.shape[1]):
+                ax.plot(lam[:, j], label=f"λ{j}")
+            ax.legend(); ax.set_title("waypoint progress")
+
+        fig.tight_layout()
+        if show:
+            plt.show()
+        return fig
+
+    def save(self, data: TrajectoryData, path) -> None:
+        fig = self.plot(data)
+        fig.savefig(path, dpi=110)
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+
+    def animation(self, data: TrajectoryData, path, fps: int = 20) -> None:
+        """GIF of the 3D trajectory (reference plotting.py:503-517)."""
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+        from matplotlib.animation import FuncAnimation, PillowWriter
+
+        xs = np.asarray(data.state)
+        fig = plt.figure(figsize=(7, 6))
+        ax = fig.add_subplot(projection="3d")
+        (line,) = ax.plot([], [], [], "b-")
+        (dot,) = ax.plot([], [], [], "ro")
+        ax.set_xlim(xs[:, 0].min() - 5, xs[:, 0].max() + 5)
+        ax.set_ylim(xs[:, 1].min() - 5, xs[:, 1].max() + 5)
+        ax.set_zlim((-xs[:, 2]).min() - 5, (-xs[:, 2]).max() + 5)
+
+        def update(i):
+            line.set_data(xs[:i, 0], xs[:i, 1])
+            line.set_3d_properties(-xs[:i, 2])
+            dot.set_data(xs[i : i + 1, 0], xs[i : i + 1, 1])
+            dot.set_3d_properties(-xs[i : i + 1, 2])
+            return line, dot
+
+        anim = FuncAnimation(fig, update, frames=xs.shape[0], blit=False)
+        anim.save(path, writer=PillowWriter(fps=fps))
+        plt.close(fig)

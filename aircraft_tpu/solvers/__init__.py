@@ -3,14 +3,16 @@ from aircraft_tpu.solvers.rollout import (
     batch_rollout,
     closed_loop_rollout,
     linearize_along,
-    rollout,
 )
+
+# NOTE: the `rollout` *function* is deliberately not re-exported here —
+# it would shadow the `aircraft_tpu.solvers.rollout` submodule binding.
+# Use `from aircraft_tpu.solvers.rollout import rollout`.
 
 __all__ = [
     "make_step_fn",
     "rk4_step",
     "step",
-    "rollout",
     "closed_loop_rollout",
     "linearize_along",
     "batch_rollout",

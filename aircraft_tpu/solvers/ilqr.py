@@ -1,0 +1,284 @@
+"""Batched augmented-Lagrangian iLQR — the TPU-native NLP solver.
+
+Replaces the reference's IPOPT/MUMPS pair (reference control/base.py:455-477,
+config.py:23-54) with a purpose-built solver whose every step is a fused XLA
+program:
+
+  * dynamics sensitivities  A_k, B_k   — `jax.jacfwd` of the RK4 step
+  * cost/constraint curvature          — `jax.grad`/`jax.hessian` of the
+                                          AL stage cost (role of nlp_hess_l)
+  * KKT factorisation                  — Riccati backward `lax.scan`
+                                          (role of MUMPS on the block-tridiagonal
+                                          KKT system)
+  * line search                        — K candidate step sizes rolled out
+                                          in parallel via `vmap` (TPU-friendly:
+                                          no data-dependent branching)
+  * constraints                        — PHR augmented Lagrangian with
+                                          scheduled penalty tightening
+                                          (role of IPOPT's barrier)
+
+The whole solve is one jittable pure function of (x0, u_init, multipliers),
+so `vmap` turns it into thousands of simultaneous MPC solves per chip and
+`pjit`/`shard_map` spreads the scenario batch over a mesh.
+
+Iteration structure is fixed-trip-count with `done` masking (no early exit)
+— deliberately: a batch of scenarios shares one compiled program and
+convergence is tracked per scenario (SURVEY §5.3: a failed scenario must not
+poison the batch).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from aircraft_tpu.config import SolverConfig
+from aircraft_tpu.solvers import ocp as ocp_mod
+from aircraft_tpu.solvers.ocp import ALState, OCPFunctions
+
+
+class ILQRSolution(NamedTuple):
+    xs: jax.Array          # (N+1, n)
+    us: jax.Array          # (N, m)
+    cost: jax.Array        # true (un-augmented) cost
+    violation: jax.Array   # max constraint violation
+    converged: jax.Array   # bool
+    iterations: jax.Array  # inner iterations actually used
+    grad_norm: jax.Array   # final stationarity measure
+
+
+# ---------------------------------------------------------------------------
+# expansions
+# ---------------------------------------------------------------------------
+
+
+def _quadraticize(ocp: OCPFunctions, al: ALState, xs, us):
+    """Per-knot gradients/Hessians of the AL stage cost, and the terminal
+    expansion. vmapped over the horizon; XLA fuses all knots into one batch
+    of small dense ops."""
+    N = us.shape[0]
+    ks = jnp.arange(N)
+
+    def stage(x, u, k):
+        cx = jax.grad(ocp_mod.al_stage_cost, argnums=2)(ocp, al, x, u, k)
+        cu = jax.grad(ocp_mod.al_stage_cost, argnums=3)(ocp, al, x, u, k)
+        cxx = jax.hessian(ocp_mod.al_stage_cost, argnums=2)(ocp, al, x, u, k)
+        cuu = jax.hessian(ocp_mod.al_stage_cost, argnums=3)(ocp, al, x, u, k)
+        # ∂²c/∂u∂x, shape (m, n)
+        cux = jax.jacfwd(
+            lambda xx: jax.grad(ocp_mod.al_stage_cost, argnums=3)(ocp, al, xx, u, k)
+        )(x)
+        return cx, cu, cxx, cuu, cux
+
+    lx, lu, lxx, luu, lux = jax.vmap(stage)(xs[:-1], us, ks)
+    vx = jax.grad(ocp_mod.al_terminal_cost, argnums=2)(ocp, al, xs[-1])
+    vxx = jax.hessian(ocp_mod.al_terminal_cost, argnums=2)(ocp, al, xs[-1])
+    return lx, lu, lxx, luu, lux, vx, vxx
+
+
+# ---------------------------------------------------------------------------
+# backward Riccati sweep
+# ---------------------------------------------------------------------------
+
+
+def _backward_pass(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg):
+    """Riccati recursion over the horizon (the factorisation step MUMPS did
+    for IPOPT, restructured as a `lax.scan` over (N) small dense blocks).
+
+    Returns gains (K, k), expected improvement terms, and a PD-failure flag.
+    """
+
+    def step(carry, inp):
+        Vx, Vxx, fail = carry
+        A_k, B_k, lx_k, lu_k, lxx_k, luu_k, lux_k = inp
+
+        Qx = lx_k + A_k.T @ Vx
+        Qu = lu_k + B_k.T @ Vx
+        Qxx = lxx_k + A_k.T @ Vxx @ A_k
+        Quu = luu_k + B_k.T @ Vxx @ B_k
+        Qux = lux_k + B_k.T @ Vxx @ A_k
+
+        m = Qu.shape[0]
+        Quu_reg = 0.5 * (Quu + Quu.T) + reg * jnp.eye(m, dtype=Quu.dtype)
+        L = jnp.linalg.cholesky(Quu_reg)
+        bad = jnp.any(jnp.isnan(L))
+        L_safe = jnp.where(bad, jnp.eye(m, dtype=L.dtype), L)
+
+        rhs = jnp.concatenate([Qu[:, None], Qux], axis=1)
+        sol = jax.scipy.linalg.cho_solve((L_safe, True), rhs)
+        k_k = -sol[:, 0]
+        K_k = -sol[:, 1:]
+
+        Vx_new = Qx + K_k.T @ Quu @ k_k + K_k.T @ Qu + Qux.T @ k_k
+        Vxx_new = Qxx + K_k.T @ Quu @ K_k + K_k.T @ Qux + Qux.T @ K_k
+        Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
+
+        dv1 = k_k @ Qu
+        dv2 = 0.5 * k_k @ Quu @ k_k
+        return (Vx_new, Vxx_new, fail | bad), (K_k, k_k, dv1, dv2, jnp.max(jnp.abs(Qu)))
+
+    (_, _, fail), (K, k, dv1, dv2, qu_max) = jax.lax.scan(
+        step, (vx, vxx, jnp.asarray(False)), (A, B, lx, lu, lxx, luu, lux),
+        reverse=True,
+    )
+    return K, k, jnp.sum(dv1), jnp.sum(dv2), jnp.max(qu_max), fail
+
+
+# ---------------------------------------------------------------------------
+# forward pass — parallel line search
+# ---------------------------------------------------------------------------
+
+
+def _forward_pass(ocp: OCPFunctions, al: ALState, xs_ref, us_ref, K, k, alphas):
+    """Roll out every candidate step size simultaneously (vmap over α) and
+    return the best trajectory by AL cost. No backtracking loop — all
+    candidates are one batched scan, the TPU-shaped version of a line
+    search."""
+    N = us_ref.shape[0]
+    ks_idx = jnp.arange(N)
+
+    def rollout(alpha):
+        def body(carry, inp):
+            x, bad = carry
+            u_ref, x_ref, K_k, k_k, idx = inp
+            u = u_ref + alpha * k_k + K_k @ (x - x_ref)
+            x_next = ocp.step(x, u, idx)
+            # NaN policing (SURVEY §5.2): freeze a diverged rollout in place
+            # and flag it so its cost is forced to +inf below — it can never
+            # be accepted, but it cannot poison downstream knots either.
+            # The magnitude bound also catches finite-but-absurd states whose
+            # AL cost would overflow float32 and corrupt the accept test.
+            finite = jnp.all(jnp.isfinite(x_next)) & (
+                jnp.max(jnp.abs(x_next)) < 1e6
+            )
+            x_next = jnp.where(finite, x_next, x)
+            return (x_next, bad | ~finite), (x_next, u)
+
+        (_, bad), (xs_new, us_new) = jax.lax.scan(
+            body, (xs_ref[0], jnp.asarray(False)), (us_ref, xs_ref[:-1], K, k, ks_idx)
+        )
+        xs_new = jnp.concatenate([xs_ref[:1], xs_new], axis=0)
+        cost = ocp_mod.al_total_cost(ocp, al, xs_new, us_new)
+        cost = jnp.where(bad, jnp.inf, cost)
+        return xs_new, us_new, cost
+
+    xs_c, us_c, costs = jax.vmap(rollout)(alphas)
+    costs = jnp.where(jnp.isnan(costs), jnp.inf, costs)
+    best = jnp.argmin(costs)
+    return xs_c[best], us_c[best], costs[best], alphas[best]
+
+
+# ---------------------------------------------------------------------------
+# solver
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def solve(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
+          config: SolverConfig = SolverConfig()) -> ILQRSolution:
+    """AL-iLQR solve for a single scenario. `jax.vmap(solve, in_axes=(None,
+    0, 0, None))` is the batched solver; see `solve_batch`."""
+    N, m = us_init.shape
+    n = x0.shape[-1]
+    dtype = x0.dtype
+
+    ks_idx = jnp.arange(N)
+    alphas = jnp.concatenate(
+        [jnp.logspace(0.0, -(config.line_search_steps - 2), config.line_search_steps - 1, base=2.0),
+         jnp.zeros((1,))]
+    ).astype(dtype)
+
+    def initial_rollout(us):
+        def body(x, inp):
+            u, idx = inp
+            x_next = ocp.step(x, u, idx)
+            # freeze divergence (incl. float32-overflow-scale magnitudes) so
+            # a bad warm start still yields usable linearisation points
+            ok = jnp.all(jnp.isfinite(x_next)) & (jnp.max(jnp.abs(x_next)) < 1e6)
+            x_next = jnp.where(ok, x_next, x)
+            return x_next, x_next
+
+        _, xs_tail = jax.lax.scan(body, x0, (us, ks_idx))
+        return jnp.concatenate([x0[None], xs_tail], axis=0)
+
+    xs0 = initial_rollout(us_init)
+    al0 = ocp_mod.init_al_state(ocp, x0, us_init[0], N, mu0=config.penalty_init)
+
+    def linearize(xs, us):
+        def jac(x, u, idx):
+            A = jax.jacfwd(lambda xx: ocp.step(xx, u, idx))(x)
+            B = jax.jacfwd(lambda uu: ocp.step(x, uu, idx))(u)
+            return A, B
+
+        return jax.vmap(jac)(xs[:-1], us, ks_idx)
+
+    def inner_iteration(carry, _):
+        xs, us, al, reg, done, n_iters, grad_norm = carry
+        cost_prev = ocp_mod.al_total_cost(ocp, al, xs, us)
+
+        A, B = linearize(xs, us)
+        lx, lu, lxx, luu, lux, vx, vxx = _quadraticize(ocp, al, xs, us)
+        K, kff, dv1, dv2, qu_max, fail = _backward_pass(
+            A, B, lx, lu, lxx, luu, lux, vx, vxx, reg
+        )
+
+        xs_new, us_new, cost_new, alpha = _forward_pass(ocp, al, xs, us, K, kff, alphas)
+
+        expected = -(dv1 + dv2)
+        improved = (cost_new < cost_prev - 1e-12) & ~fail
+
+        # trust-region-style regularisation adaptation
+        reg_new = jnp.where(
+            fail | ~improved,
+            jnp.minimum(reg * 10.0, config.reg_max),
+            jnp.maximum(reg / 5.0, config.reg_init),
+        )
+
+        accept = improved & ~done
+        xs = jnp.where(accept, xs_new, xs)
+        us = jnp.where(accept, us_new, us)
+
+        # stationarity: max |Qu| over the horizon
+        converged_now = (qu_max < config.tol) | (
+            improved & (jnp.abs(cost_prev - cost_new) < config.tol * (1.0 + jnp.abs(cost_prev)))
+        )
+        done = done | (converged_now & ~fail)
+        n_iters = n_iters + jnp.where(done, 0, 1)
+        return (xs, us, al, reg_new, done, n_iters, qu_max), None
+
+    def al_iteration(carry, _):
+        xs, us, al, n_iters_total, grad_norm = carry
+        inner0 = (xs, us, al, jnp.asarray(config.reg_init, dtype), jnp.asarray(False),
+                  jnp.asarray(0), jnp.asarray(jnp.inf, dtype))
+        (xs, us, al, _, _, n_inner, grad_norm), _ = jax.lax.scan(
+            inner_iteration, inner0, None, length=config.max_inner_iters
+        )
+        al = ocp_mod.update_multipliers(
+            ocp, al, xs, us, config.penalty_scale, config.penalty_max
+        )
+        return (xs, us, al, n_iters_total + n_inner, grad_norm), None
+
+    carry0 = (xs0, us_init, al0, jnp.asarray(0), jnp.asarray(jnp.inf, dtype))
+    (xs, us, al, n_iters, grad_norm), _ = jax.lax.scan(
+        al_iteration, carry0, None, length=config.max_al_iters
+    )
+
+    cost = ocp_mod.true_cost(ocp, xs, us)
+    viol = ocp_mod.max_violation(ocp, xs, us)
+    converged = (viol < config.constraint_tol) & jnp.isfinite(cost)
+    return ILQRSolution(
+        xs=xs, us=us, cost=cost, violation=viol, converged=converged,
+        iterations=n_iters, grad_norm=grad_norm,
+    )
+
+
+def solve_batch(ocp: OCPFunctions, x0s: jax.Array, us_inits: jax.Array,
+                config: SolverConfig = SolverConfig()) -> ILQRSolution:
+    """vmap of `solve` over a leading scenario axis — thousands of
+    simultaneous MPC solves in one XLA program (SURVEY §2.4: the scenario
+    batch is the data-parallel axis of this domain)."""
+    return jax.vmap(lambda x0, us: solve(ocp, x0, us, config))(x0s, us_inits)

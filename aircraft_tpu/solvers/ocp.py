@@ -1,0 +1,161 @@
+"""Optimal-control-problem description consumed by the batched solvers.
+
+The reference builds an `ca.Opti` NLP node-by-node (reference
+control/base.py:339-443); here a problem is four pure functions over
+(state, control, knot-index) plus a dynamics step.  Everything the solver
+needs — derivatives, quadratic expansions, constraint Jacobians — is
+derived from these by JAX transforms, so defining a new controller is
+writing plain array code (the role of subclassing `ControlProblem`).
+
+Constraint convention:
+  * `eq(x, u, k) = 0`
+  * `ineq(x, u, k) <= 0`
+Both must return fixed-size vectors (pad with zeros if a constraint is
+inactive at some knots — XLA needs static shapes).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+def _zero_vec(x, u, k):
+    return jnp.zeros((0,), dtype=x.dtype)
+
+
+def _zero_vec_term(x):
+    return jnp.zeros((0,), dtype=x.dtype)
+
+
+@struct.dataclass
+class OCPFunctions:
+    """Bundle of problem callables. Static pytree (callables are leaves of
+    metadata, not arrays), so it can be closed over by jitted solvers."""
+
+    step: Callable = struct.field(pytree_node=False)            # (x, u, k) -> x_next
+    stage_cost: Callable = struct.field(pytree_node=False)      # (x, u, k) -> scalar
+    terminal_cost: Callable = struct.field(pytree_node=False)   # (x) -> scalar
+    ineq: Callable = struct.field(pytree_node=False, default=_zero_vec)
+    eq: Callable = struct.field(pytree_node=False, default=_zero_vec)
+    terminal_ineq: Callable = struct.field(pytree_node=False, default=_zero_vec_term)
+    terminal_eq: Callable = struct.field(pytree_node=False, default=_zero_vec_term)
+
+
+@struct.dataclass
+class ALState:
+    """Augmented-Lagrangian multipliers/penalty for one trajectory."""
+
+    lam_ineq: jax.Array      # (N, n_ineq)
+    lam_eq: jax.Array        # (N, n_eq)
+    lam_t_ineq: jax.Array    # (n_t_ineq,)
+    lam_t_eq: jax.Array      # (n_t_eq,)
+    mu: jax.Array            # scalar penalty
+
+
+def init_al_state(ocp: OCPFunctions, x0: jax.Array, u0: jax.Array, N: int,
+                  mu0: float = 10.0) -> ALState:
+    n_ineq = ocp.ineq(x0, u0, 0).shape[-1]
+    n_eq = ocp.eq(x0, u0, 0).shape[-1]
+    n_ti = ocp.terminal_ineq(x0).shape[-1]
+    n_te = ocp.terminal_eq(x0).shape[-1]
+    z = jnp.zeros
+    return ALState(
+        lam_ineq=z((N, n_ineq)),
+        lam_eq=z((N, n_eq)),
+        lam_t_ineq=z((n_ti,)),
+        lam_t_eq=z((n_te,)),
+        mu=jnp.asarray(mu0),
+    )
+
+
+def al_stage_cost(ocp: OCPFunctions, al: ALState, x, u, k):
+    """Stage cost + AL penalty terms.
+
+    Inequalities use the standard PHR form: active when g + λ/μ > 0."""
+    c = ocp.stage_cost(x, u, k)
+    g = ocp.ineq(x, u, k)
+    h = ocp.eq(x, u, k)
+    lam_g = al.lam_ineq[k]
+    lam_h = al.lam_eq[k]
+    mu = al.mu
+    gplus = jnp.maximum(g + lam_g / mu, 0.0)
+    c = c + 0.5 * mu * jnp.sum(gplus * gplus) - 0.5 * jnp.sum(lam_g * lam_g) / mu
+    c = c + jnp.sum(lam_h * h) + 0.5 * mu * jnp.sum(h * h)
+    return c
+
+
+def al_terminal_cost(ocp: OCPFunctions, al: ALState, x):
+    c = ocp.terminal_cost(x)
+    g = ocp.terminal_ineq(x)
+    h = ocp.terminal_eq(x)
+    mu = al.mu
+    gplus = jnp.maximum(g + al.lam_t_ineq / mu, 0.0)
+    c = c + 0.5 * mu * jnp.sum(gplus * gplus) - 0.5 * jnp.sum(al.lam_t_ineq**2) / mu
+    c = c + jnp.sum(al.lam_t_eq * h) + 0.5 * mu * jnp.sum(h * h)
+    return c
+
+
+def al_total_cost(ocp: OCPFunctions, al: ALState, xs, us):
+    N = us.shape[0]
+    ks = jnp.arange(N)
+    stage = jax.vmap(lambda x, u, k: al_stage_cost(ocp, al, x, u, k))(xs[:-1], us, ks)
+    return jnp.sum(stage) + al_terminal_cost(ocp, al, xs[-1])
+
+
+def true_cost(ocp: OCPFunctions, xs, us):
+    N = us.shape[0]
+    ks = jnp.arange(N)
+    stage = jax.vmap(lambda x, u, k: ocp.stage_cost(x, u, k))(xs[:-1], us, ks)
+    return jnp.sum(stage) + ocp.terminal_cost(xs[-1])
+
+
+def max_violation(ocp: OCPFunctions, xs, us):
+    """Worst constraint violation along the trajectory — the solver's
+    `constr_viol_tol` analogue (reference config.py:25)."""
+    N = us.shape[0]
+    ks = jnp.arange(N)
+
+    def stage_viol(x, u, k):
+        g = ocp.ineq(x, u, k)
+        h = ocp.eq(x, u, k)
+        vg = jnp.max(jnp.maximum(g, 0.0), initial=0.0)
+        vh = jnp.max(jnp.abs(h), initial=0.0)
+        return jnp.maximum(vg, vh)
+
+    v = jnp.max(jax.vmap(stage_viol)(xs[:-1], us, ks), initial=0.0)
+    vt = jnp.maximum(
+        jnp.max(jnp.maximum(ocp.terminal_ineq(xs[-1]), 0.0), initial=0.0),
+        jnp.max(jnp.abs(ocp.terminal_eq(xs[-1])), initial=0.0),
+    )
+    return jnp.maximum(v, vt)
+
+
+def update_multipliers(ocp: OCPFunctions, al: ALState, xs, us,
+                       penalty_scale: float, penalty_max: float) -> ALState:
+    """First-order multiplier update + penalty increase (outer AL step)."""
+    N = us.shape[0]
+    ks = jnp.arange(N)
+    mu = al.mu
+
+    def upd(x, u, k):
+        g = ocp.ineq(x, u, k)
+        h = ocp.eq(x, u, k)
+        return (
+            jnp.maximum(al.lam_ineq[k] + mu * g, 0.0),
+            al.lam_eq[k] + mu * h,
+        )
+
+    lam_ineq, lam_eq = jax.vmap(upd)(xs[:-1], us, ks)
+    lam_t_ineq = jnp.maximum(al.lam_t_ineq + mu * ocp.terminal_ineq(xs[-1]), 0.0)
+    lam_t_eq = al.lam_t_eq + mu * ocp.terminal_eq(xs[-1])
+    return ALState(
+        lam_ineq=lam_ineq,
+        lam_eq=lam_eq,
+        lam_t_ineq=lam_t_ineq,
+        lam_t_eq=lam_t_eq,
+        mu=jnp.minimum(mu * penalty_scale, penalty_max),
+    )

@@ -1,0 +1,165 @@
+"""Trim search and stability analysis.
+
+Replaces the reference's raw-IPOPT trim NLP (reference main/stability/trim.py:
+218-445: minimise ‖v̇‖² + ‖ω̇‖² s.t. unit quaternion, airspeed envelope,
+|ω| small, CoM box) with a batched Levenberg–Marquardt Gauss–Newton solve.
+
+TPU-first design choices:
+  * orientation is parameterised by a rotation vector (tangent-space chart),
+    so the unit-quaternion constraint vanishes instead of being enforced;
+  * body rates are pinned to the trim condition ω = 0 exactly rather than
+    bounded (the reference bounds |ω| ≤ 1e-2);
+  * box constraints (controls, CoM) are handled by projection;
+  * the whole solve is jit + vmap — multi-start trim from hundreds of
+    initial guesses costs one program launch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aircraft_tpu.dynamics import aircraft as ac
+from aircraft_tpu.dynamics.aircraft import AircraftParams
+from aircraft_tpu.ops import quaternion as quat
+
+
+class TrimResult(NamedTuple):
+    state: jax.Array     # (13,) trimmed state
+    control: jax.Array   # (10,) trimmed control incl. CoM
+    residual: jax.Array  # ‖[v̇, ω̇]‖ at the trim point
+    converged: jax.Array
+
+
+# decision vector z = [v_ned(3), rotvec(3), aileron, elevator, rudder, com(3)]
+_NZ = 12
+
+
+def _unpack(z, base_pos):
+    v = z[0:3]
+    q = quat.expmap(z[3:6])
+    controls = jnp.concatenate(
+        [z[6:9], jnp.zeros(3, dtype=z.dtype), jnp.zeros(1, dtype=z.dtype), z[9:12]]
+    )
+    state = jnp.concatenate([base_pos, v, q, jnp.zeros(3, dtype=z.dtype)])
+    return state, controls
+
+
+def _residual(params: AircraftParams, z, base_pos, target_airspeed, w_speed):
+    state, controls = _unpack(z, base_pos)
+    xdot = ac.state_derivative(params, state, controls)
+    r = jnp.concatenate([xdot[3:6], xdot[10:13]])  # v̇, ω̇
+    if target_airspeed is not None:
+        speed = jnp.linalg.norm(state[3:6])
+        r = jnp.concatenate([r, jnp.atleast_1d(w_speed * (speed - target_airspeed))])
+    return r
+
+
+@partial(jax.jit, static_argnums=(3,))
+def solve_trim(
+    params: AircraftParams,
+    z0: jax.Array,
+    bounds: tuple[jax.Array, jax.Array],
+    target_airspeed: Optional[float] = None,
+    *,
+    base_pos: Optional[jax.Array] = None,
+    iters: int = 60,
+    w_speed: float = 1.0,
+    tol: float = 1e-8,
+) -> TrimResult:
+    """Projected Levenberg–Marquardt from one initial guess."""
+    if base_pos is None:
+        base_pos = jnp.array([0.0, 0.0, -200.0], dtype=z0.dtype)
+    lb, ub = bounds
+
+    def res(z):
+        return _residual(params, z, base_pos, target_airspeed, w_speed)
+
+    def lm_step(carry, _):
+        z, lam = carry
+        r = res(z)
+        J = jax.jacfwd(res)(z)
+        H = J.T @ J + lam * jnp.eye(_NZ, dtype=z.dtype)
+        dz = -jnp.linalg.solve(H, J.T @ r)
+        z_new = jnp.clip(z + dz, lb, ub)
+        r_new = res(z_new)
+        improved = jnp.sum(r_new * r_new) < jnp.sum(r * r)
+        z = jnp.where(improved, z_new, z)
+        lam = jnp.where(improved, jnp.maximum(lam * 0.5, 1e-10), lam * 4.0)
+        return (z, lam), None
+
+    (z, _), _ = jax.lax.scan(lm_step, (z0, jnp.asarray(1e-3, z0.dtype)), None, length=iters)
+    r = res(z)
+    rnorm = jnp.linalg.norm(r[:6])
+    state, control = _unpack(z, base_pos)
+    return TrimResult(state=state, control=control, residual=rnorm, converged=rnorm < 1e-3)
+
+
+def default_trim_bounds(control_envelope=None, dtype=jnp.float32):
+    """Bounds on the trim decision vector (reference trim.py:278-416:
+    airspeed [30,100] handled via the velocity box, CoM box from config)."""
+    lb = jnp.array(
+        [5.0, -20.0, -20.0, -1.0, -1.0, -np.pi, -5.0, -5.0, -5.0, -0.5, -0.1, -0.1],
+        dtype=dtype,
+    )
+    ub = jnp.array(
+        [100.0, 20.0, 20.0, 1.0, 1.0, np.pi, 5.0, 5.0, 5.0, 0.5, 0.1, 0.1],
+        dtype=dtype,
+    )
+    if control_envelope is not None:
+        clb, cub = control_envelope.bounds(10)
+        lb = lb.at[6:9].set(jnp.asarray(clb[:3], dtype)).at[9:12].set(jnp.asarray(clb[7:10], dtype))
+        ub = ub.at[6:9].set(jnp.asarray(cub[:3], dtype)).at[9:12].set(jnp.asarray(cub[7:10], dtype))
+    return lb, ub
+
+
+def multistart_trim(
+    params: AircraftParams,
+    key: jax.Array,
+    n_starts: int = 64,
+    target_airspeed: Optional[float] = 50.0,
+    bounds=None,
+) -> TrimResult:
+    """vmap multi-start; returns the best trim found."""
+    if bounds is None:
+        bounds = default_trim_bounds()
+    lb, ub = bounds
+    mid = jnp.array(
+        [50.0, 0.0, 2.0, 0.0, 0.05, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    )
+    spread = jnp.array([10.0, 1.0, 3.0, 0.05, 0.1, 0.05, 1.0, 1.0, 1.0, 0.1, 0.02, 0.02])
+    z0s = mid + spread * jax.random.normal(key, (n_starts, _NZ))
+    z0s = jnp.clip(z0s, lb, ub)
+
+    sols = jax.vmap(lambda z0: solve_trim(params, z0, bounds, target_airspeed))(z0s)
+    best = jnp.argmin(sols.residual)
+    return TrimResult(
+        state=sols.state[best],
+        control=sols.control[best],
+        residual=sols.residual[best],
+        converged=sols.converged[best],
+    )
+
+
+# ---------------------------------------------------------------------------
+# stability analysis (reference main/stability/stability.py:47-116,
+# main/stability/dynamics_trimming.py:70-130)
+# ---------------------------------------------------------------------------
+
+
+def continuous_jacobians(params: AircraftParams, state, control):
+    """A = ∂f/∂x, B = ∂f/∂u of the continuous dynamics at a point."""
+    A = jax.jacfwd(lambda x: ac.state_derivative(params, x, control))(state)
+    B = jax.jacfwd(lambda u: ac.state_derivative(params, state, u))(control)
+    return A, B
+
+
+def stability_eigenvalues(params: AircraftParams, state, control):
+    """Eigenvalues of the continuous-time Jacobian at (state, control).
+    Eigendecomposition runs host-side (tiny, not a device op)."""
+    A, _ = continuous_jacobians(params, state, control)
+    return np.linalg.eigvals(np.asarray(A, dtype=np.float64))

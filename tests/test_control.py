@@ -1,0 +1,87 @@
+"""Controller-level tests: envelope OCP, waypoint complementarity scheme,
+and the receding-horizon MHTT loop (reference main/mhe/mhtt.py flow)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aircraft_tpu.config import SolverConfig, TrajectoryConfig, glider_config
+from aircraft_tpu.control import waypoints as wp_mod
+from aircraft_tpu.control.initialisation import DubinsInitialiser
+from aircraft_tpu.control.mhtt import MHTT
+from aircraft_tpu.dynamics.aircraft import AircraftParams
+
+
+def short_course_config() -> TrajectoryConfig:
+    """Small two-waypoint course solvable in a short horizon (CPU-friendly)."""
+    base = glider_config()
+    d = {
+        "waypoints": {
+            "waypoints": [[120.0, 10.0, -195.0], [240.0, -10.0, -190.0]],
+            "initial_state": [0, 0, -200, 50, 0, 0, 0, 0, 0, 1, 0, 0, 0],
+            "default_velocity": 45,
+            "waypoint_indices": [0, 1, 2],
+            "waypoint_tolerance": 10.0,
+        },
+        "aircraft": dict(
+            mass=4.0, span=2.0, length=1.2, chord=0.124605,
+            reference_area=0.238, aero_centre_offset=[0.133, 0, 0.003],
+            Ixx=0.155, Iyy=0.114, Izz=0.262, Ixz=0.01,
+            glide_ratio=3.0, r_min=1.0,
+        ),
+        "state": {"alpha": [-15, 15], "beta": [-15, 15], "airspeed": [30, 100]},
+        "control": {
+            "aileron_limit": [-10, 10],
+            "elevator_limit": [-10, 10],
+            "rudder_limit": [-10, 10],
+            "throttle_limit": [[0, 0, 0], [0, 0, 0]],
+            "centre_of_mass_limit": [[-0.5, -0.1, -0.1], [0.5, 0.1, 0.1]],
+        },
+    }
+    return TrajectoryConfig.from_dict(d)
+
+
+class TestWaypointRacing:
+    def test_fixed_time_passes_waypoints(self):
+        cfg = short_course_config()
+        params = AircraftParams.from_config(cfg.aircraft)
+        # dt=0.1 needs substeps: a single RK4 step at this dt is unstable for
+        # the stiff aero rotational dynamics (verified open-loop)
+        sol = wp_mod.solve_waypoint_racing(
+            params, cfg, num_nodes=70, dt=0.1, substeps=10,
+            solver_config=SolverConfig(max_al_iters=6, max_inner_iters=20),
+        )
+        xs = np.asarray(sol.xs)
+        assert np.all(np.isfinite(xs))
+        # each waypoint approached within ~tolerance at the closest node
+        wps = cfg.waypoints.array()
+        for j, w in enumerate(wps):
+            dmin = np.min(np.linalg.norm(xs[:, :3] - w, axis=1))
+            assert dmin < 2.5 * cfg.waypoints.tolerance, (j, dmin)
+        # progress variables consumed: λ(T) ≈ 0
+        lam_T = xs[-1, 13:]
+        assert np.all(np.abs(lam_T) < 0.1), lam_T
+
+
+class TestMHTT:
+    def test_receding_horizon_advances(self):
+        cfg = short_course_config()
+        params = AircraftParams.from_config(cfg.aircraft)
+        track = DubinsInitialiser(cfg)
+        mhtt = MHTT(
+            params, cfg, track, num_nodes=25, dt=0.02, overlap=15, substeps=2,
+            solver_config=SolverConfig(max_al_iters=2, max_inner_iters=10),
+        )
+        x0 = jnp.asarray(cfg.waypoints.initial_state, dtype=jnp.float32)
+
+        w1 = mhtt.solve_window(x0, 0.0, jnp.zeros((25, 7)))
+        assert np.all(np.isfinite(np.asarray(w1.xs)))
+        # progress moves forward within the window
+        assert float(w1.xs[-1, 13]) > 0.0
+
+        out = mhtt.run(x0, max_windows=4, progress_target=0.95)
+        assert out["windows"] >= 1
+        assert out["states"].shape[1] == 13
+        assert np.all(np.isfinite(out["states"]))
+        assert out["progress"] > 0.0

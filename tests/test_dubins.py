@@ -1,0 +1,138 @@
+"""Property tests for the Dubins planners: every produced path must actually
+arrive at the requested configuration when integrated (stronger than the
+reference's visual ✓/✗ scripts, reference main/initialisation/dubins.py)."""
+
+import numpy as np
+import pytest
+
+from aircraft_tpu.dubins.dubins2d import shortest_path
+from aircraft_tpu.dubins.dubins3d import maneuver3d
+
+RNG = np.random.default_rng(7)
+
+
+def angdiff(a, b):
+    return np.abs(np.arctan2(np.sin(a - b), np.cos(a - b)))
+
+
+class TestDubins2D:
+    def test_endpoints_random(self):
+        for _ in range(200):
+            qi = np.array([*RNG.uniform(-50, 50, 2), RNG.uniform(0, 2 * np.pi)])
+            qf = np.array([*RNG.uniform(-50, 50, 2), RNG.uniform(0, 2 * np.pi)])
+            rho = RNG.uniform(1.0, 10.0)
+            path = shortest_path(qi, qf, rho)
+            assert path is not None, (qi, qf, rho)
+            end = path.sample(path.length)
+            assert np.linalg.norm(end[:2] - qf[:2]) < 1e-6 * max(1, path.length), (
+                path.word, end, qf
+            )
+            assert angdiff(end[2], qf[2]) < 1e-6
+
+    def test_start_configuration(self):
+        qi = np.array([3.0, -2.0, 0.7])
+        qf = np.array([20.0, 15.0, 2.2])
+        path = shortest_path(qi, qf, 5.0)
+        start = path.sample(0.0)
+        np.testing.assert_allclose(start, qi, atol=1e-9)
+
+    def test_length_lower_bound(self):
+        """Path length >= straight-line distance."""
+        for _ in range(100):
+            qi = np.array([*RNG.uniform(-50, 50, 2), RNG.uniform(0, 2 * np.pi)])
+            qf = np.array([*RNG.uniform(-50, 50, 2), RNG.uniform(0, 2 * np.pi)])
+            path = shortest_path(qi, qf, 3.0)
+            assert path.length >= np.linalg.norm(qf[:2] - qi[:2]) - 1e-9
+
+    def test_min_length_respected(self):
+        qi = np.array([0.0, 0.0, 0.0])
+        qf = np.array([30.0, 0.0, 0.0])
+        unconstrained = shortest_path(qi, qf, 3.0)
+        constrained = shortest_path(qi, qf, 3.0, min_length=50.0)
+        assert unconstrained.length < 50.0
+        if constrained is not None:
+            assert constrained.length >= 50.0 - 1e-9
+
+    def test_straight_degenerate(self):
+        path = shortest_path([0, 0, 0], [100, 0, 0], 5.0)
+        assert abs(path.length - 100.0) < 1e-6
+
+    def test_sampling_continuity(self):
+        path = shortest_path([0, 0, 1.0], [40, 25, 4.0], 6.0)
+        pts = path.sample_many(200)
+        step = np.linalg.norm(np.diff(pts[:, :2], axis=0), axis=1)
+        expected = path.length / 199
+        assert np.all(step < expected * 1.5 + 1e-9)
+
+
+class TestDubins3D:
+    def test_endpoint_accuracy(self):
+        hits = 0
+        for _ in range(40):
+            qi = np.array([0.0, 0.0, -200.0, RNG.uniform(0, 2 * np.pi), 0.0])
+            qf = np.array(
+                [
+                    *RNG.uniform(-150, 150, 2),
+                    -200.0 + RNG.uniform(-15, 15),
+                    RNG.uniform(0, 2 * np.pi),
+                    0.0,
+                ]
+            )
+            m = maneuver3d(qi, qf, rho=20.0)
+            if m is None:
+                continue
+            hits += 1
+            end = m.sample(m.length)
+            assert np.linalg.norm(end[:3] - qf[:3]) < 0.5, (end, qf)
+        assert hits > 20  # most scenarios must be solvable
+
+    def test_pitch_limits_respected(self):
+        qi = np.array([0.0, 0.0, -200.0, 0.0, 0.0])
+        qf = np.array([200.0, 50.0, -180.0, np.pi / 2, 0.0])
+        lim = np.deg2rad(12.0)
+        m = maneuver3d(qi, qf, rho=20.0, pitch_limits=(-lim, lim))
+        assert m is not None
+        pts = m.sample_many(128)
+        dz = np.diff(pts[:, 2])
+        dxy = np.linalg.norm(np.diff(pts[:, :2], axis=0), axis=1)
+        gam = np.arctan2(dz, np.maximum(dxy, 1e-9))
+        assert np.all(np.abs(gam) < lim + 0.05)
+
+
+class TestInitialiser:
+    def test_glider_track(self):
+        import jax.numpy as jnp
+
+        from aircraft_tpu.config import glider_config
+        from aircraft_tpu.control.initialisation import DubinsInitialiser
+
+        init = DubinsInitialiser(glider_config())
+        L = init.length()
+        assert L > 300.0  # the there-and-back course is several hundred meters
+
+        # track endpoints hit first/last waypoints
+        wps = glider_config().waypoints.all_points()
+        p0 = np.asarray(init.eval(0.0))
+        p1 = np.asarray(init.eval(1.0))
+        assert np.linalg.norm(p0 - wps[0]) < 2.0
+        assert np.linalg.norm(p1 - wps[-1]) < 2.0
+
+        # tangent magnitude ~ total length (ds-normalised parameterisation)
+        tan = np.asarray(init.eval_tangent(jnp.linspace(0.05, 0.95, 16)))
+        mags = np.linalg.norm(tan, axis=-1)
+        assert np.all(mags > 0.3 * L) and np.all(mags < 3.0 * L)
+
+    def test_state_guess_shape_and_sanity(self):
+        from aircraft_tpu.config import glider_config
+        from aircraft_tpu.control.initialisation import DubinsInitialiser
+
+        init = DubinsInitialiser(glider_config())
+        guess = init.state_guess(50)
+        assert guess.shape == (51, 13)
+        assert np.all(np.isfinite(guess))
+        # unit quaternions
+        norms = np.linalg.norm(guess[:, 6:10], axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+        # speed near default velocity
+        speeds = np.linalg.norm(guess[:, 3:6], axis=1)
+        np.testing.assert_allclose(speeds, init.speed, rtol=1e-3)

@@ -1,0 +1,174 @@
+"""Solver tests on analytic problems (SURVEY §4 test pyramid item 3):
+LQR with a known Riccati solution, then constrained quadrotor point-to-point.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aircraft_tpu.config import SolverConfig
+from aircraft_tpu.dynamics.quadrotor import QuadrotorParams
+from aircraft_tpu.dynamics import quadrotor
+from aircraft_tpu.solvers import ilqr, integrators
+from aircraft_tpu.solvers.ocp import OCPFunctions
+
+
+class TestLQRParity:
+    """On a linear-quadratic problem, AL-iLQR must reproduce the exact
+    finite-horizon LQR solution from the discrete Riccati recursion."""
+
+    def setup_method(self):
+        # double integrator, 2 states, 1 control
+        self.dt = 0.1
+        self.A = np.array([[1.0, self.dt], [0.0, 1.0]], dtype=np.float32)
+        self.B = np.array([[0.5 * self.dt**2], [self.dt]], dtype=np.float32)
+        self.Q = np.diag([1.0, 0.1]).astype(np.float32)
+        self.R = np.array([[0.01]], dtype=np.float32)
+        self.Qf = np.diag([100.0, 10.0]).astype(np.float32)
+        self.N = 40
+        self.x0 = np.array([1.0, 0.0], dtype=np.float32)
+
+        A, B = jnp.asarray(self.A), jnp.asarray(self.B)
+        Q, R, Qf = jnp.asarray(self.Q), jnp.asarray(self.R), jnp.asarray(self.Qf)
+
+        self.ocp = OCPFunctions(
+            step=lambda x, u, k: A @ x + B @ u,
+            stage_cost=lambda x, u, k: 0.5 * x @ Q @ x + 0.5 * u @ R @ u,
+            terminal_cost=lambda x: 0.5 * x @ Qf @ x,
+        )
+
+    def riccati_reference(self):
+        """Exact finite-horizon LQR by backward recursion (numpy, float64)."""
+        A, B = self.A.astype(np.float64), self.B.astype(np.float64)
+        Q, R = self.Q.astype(np.float64), self.R.astype(np.float64)
+        P = self.Qf.astype(np.float64)
+        Ks = []
+        for _ in range(self.N):
+            K = np.linalg.solve(R + B.T @ P @ B, B.T @ P @ A)
+            P = Q + A.T @ P @ A - A.T @ P @ B @ K
+            Ks.append(K)
+        Ks = Ks[::-1]
+        xs = [self.x0.astype(np.float64)]
+        us = []
+        for k in range(self.N):
+            u = -Ks[k] @ xs[-1]
+            us.append(u)
+            xs.append(A @ xs[-1] + B @ u)
+        return np.stack(xs), np.stack(us)
+
+    def test_matches_riccati(self):
+        cfg = SolverConfig(max_al_iters=1, max_inner_iters=8)
+        sol = ilqr.solve(
+            self.ocp, jnp.asarray(self.x0), jnp.zeros((self.N, 1)), cfg
+        )
+        xs_ref, us_ref = self.riccati_reference()
+        # float32 solve vs float64 reference: agreement to ~1e-3 absolute
+        np.testing.assert_allclose(np.asarray(sol.us), us_ref, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(sol.xs), xs_ref, atol=1e-3)
+        assert bool(sol.converged)
+
+
+def quad_ocp(target, N, dt, thrust_max=10.0):
+    """Quadrotor point-to-point with bounded thrusts (the reference's
+    quadrotor OCP smoke test, reference control/quadrotor.py:14-41)."""
+    params = QuadrotorParams.default()
+    step = integrators.make_step_fn(
+        params, substeps=1, normalize="step",
+        derivative_fn=lambda x, u: quadrotor.state_derivative(params, x, u),
+    )
+    target = jnp.asarray(target)
+
+    def stage_cost(x, u, k):
+        return 0.1 * dt * jnp.sum(u * u) + 1e-4 * jnp.sum((x[:3] - target) ** 2)
+
+    def terminal_cost(x):
+        return 100.0 * jnp.sum((x[:3] - target) ** 2) + 10.0 * jnp.sum(x[3:6] ** 2)
+
+    def ineq(x, u, k):
+        # 0 <= u <= thrust_max  (reference bounds [0, 10])
+        return jnp.concatenate([u - thrust_max, -u])
+
+    return OCPFunctions(
+        step=lambda x, u, k: step(x, u, dt),
+        stage_cost=stage_cost,
+        terminal_cost=terminal_cost,
+        ineq=ineq,
+    )
+
+
+class TestQuadrotor:
+    def test_point_to_point(self):
+        N, dt = 60, 0.05
+        target = np.array([5.0, 3.0, -8.0], dtype=np.float32)
+        ocp = quad_ocp(target, N, dt)
+        # thrust acts along +z BODY (reference quadrotor.py:42-44), so start
+        # rolled 180° (q = [1,0,0,0] xyzw) so thrust opposes NED gravity
+        x0 = jnp.zeros(13).at[6].set(1.0)
+        # hover-ish init within bounds
+        us0 = jnp.full((N, 4), 9.81 / 4.0)
+        cfg = SolverConfig(max_al_iters=6, max_inner_iters=25)
+        sol = ilqr.solve(ocp, x0, us0, cfg)
+        final_pos = np.asarray(sol.xs[-1, :3])
+        assert np.linalg.norm(final_pos - target) < 0.2, final_pos
+        us = np.asarray(sol.us)
+        assert us.min() > -1e-3 and us.max() < 10.0 + 1e-3
+        assert float(sol.violation) < 1e-3
+
+    def test_batched_targets(self):
+        N, dt = 40, 0.05
+        targets = np.array(
+            [[3.0, 0.0, -5.0], [-2.0, 4.0, -6.0], [1.0, -1.0, -3.0], [0.0, 0.0, -8.0]],
+            dtype=np.float32,
+        )
+        sols = jax.vmap(_solve_quad_for_target, in_axes=(0, None, None))(
+            jnp.asarray(targets), N, dt
+        )
+        final = np.asarray(sols.xs[:, -1, :3])
+        err = np.linalg.norm(final - targets, axis=-1)
+        assert np.all(err < 0.5), err
+
+
+def quad_ocp_dynamic(N, dt, thrust_max=10.0):
+    """Quadrotor OCP with the target supplied via the augmented state tail
+    (constant under the dynamics) so one compiled solve serves any target."""
+    params = QuadrotorParams.default()
+    step13 = integrators.make_step_fn(
+        params, substeps=1, normalize="step",
+        derivative_fn=lambda x, u: quadrotor.state_derivative(params, x, u),
+    )
+
+    def step(z, u, k):
+        x, tgt = z[:13], z[13:]
+        return jnp.concatenate([step13(x, u, dt), tgt])
+
+    def stage_cost(z, u, k):
+        x, tgt = z[:13], z[13:]
+        return 0.1 * dt * jnp.sum(u * u) + 1e-4 * jnp.sum((x[:3] - tgt) ** 2)
+
+    def terminal_cost(z):
+        x, tgt = z[:13], z[13:]
+        return 100.0 * jnp.sum((x[:3] - tgt) ** 2) + 10.0 * jnp.sum(x[3:6] ** 2)
+
+    def ineq(z, u, k):
+        return jnp.concatenate([u - thrust_max, -u])
+
+    return OCPFunctions(
+        step=step, stage_cost=stage_cost, terminal_cost=terminal_cost, ineq=ineq
+    )
+
+
+_QUAD_DYNAMIC_CACHE = {}
+
+
+def _solve_quad_for_target(target, N, dt):
+    key = (N, dt)
+    if key not in _QUAD_DYNAMIC_CACHE:
+        _QUAD_DYNAMIC_CACHE[key] = quad_ocp_dynamic(N, dt)
+    ocp = _QUAD_DYNAMIC_CACHE[key]
+    x0 = jnp.zeros(13).at[6].set(1.0)  # inverted: body +z thrust opposes gravity
+    z0 = jnp.concatenate([x0, target])
+    return ilqr.solve(
+        ocp, z0, jnp.full((N, 4), 9.81 / 4.0),
+        SolverConfig(max_al_iters=4, max_inner_iters=20),
+    )

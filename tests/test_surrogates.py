@@ -1,0 +1,114 @@
+"""Surrogate fitting/training tests (reference main/surrogates/ scripts)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aircraft_tpu.dynamics.coefficients import mlp_forward
+from aircraft_tpu.surrogates import fit_linear, fit_polynomial, train_mlp
+from aircraft_tpu.surrogates.models import load_mlp, save_mlp
+
+RNG = np.random.default_rng(5)
+
+
+def synthetic_inputs(n):
+    x = np.zeros((n, 5), dtype=np.float32)
+    x[:, 0] = RNG.uniform(200, 4000, n)      # qbar
+    x[:, 1] = RNG.uniform(-0.3, 0.3, n)      # alpha
+    x[:, 2] = RNG.uniform(-0.3, 0.3, n)      # beta
+    x[:, 3] = RNG.uniform(-5, 5, n)          # aileron
+    x[:, 4] = RNG.uniform(-5, 5, n)          # elevator
+    return x
+
+
+class TestClassicalFits:
+    def test_linear_fit_recovers_affine_map(self):
+        M = RNG.normal(0, 0.05, (6, 6)).astype(np.float32)
+        x = synthetic_inputs(2000)
+        y = np.concatenate([x, np.ones((2000, 1), np.float32)], axis=1) @ M.T
+        fit = fit_linear(x, y)
+        np.testing.assert_allclose(np.asarray(fit.matrix), M, atol=1e-3)
+
+    def test_poly_fit_recovers_cubic(self):
+        x = synthetic_inputs(4000)
+        xs = x / np.abs(x).max(axis=0)
+        y = np.stack(
+            [
+                0.1 + 0.5 * xs[:, 1] - 0.2 * xs[:, 1] ** 3,
+                0.3 * xs[:, 2],
+                -0.5 - 5.0 * xs[:, 1] + xs[:, 1] * xs[:, 2],
+                0.08 * xs[:, 3],
+                -1.2 * xs[:, 4] + 0.4 * xs[:, 1] ** 2,
+                0.01 * xs[:, 2] ** 2,
+            ],
+            axis=1,
+        ).astype(np.float32)
+        fit = fit_polynomial(x, y, degree=3)
+        from aircraft_tpu.dynamics.coefficients import _poly_eval
+
+        pred = np.asarray(_poly_eval(fit, jnp.asarray(x[:200])))
+        np.testing.assert_allclose(pred, y[:200], atol=5e-3)
+
+
+class TestMLPTraining:
+    def test_training_reduces_loss_and_roundtrips(self, tmp_path):
+        x = synthetic_inputs(3000)
+        # smooth target with the right output scales
+        y = np.stack(
+            [
+                -0.02 - 0.3 * x[:, 1] ** 2,
+                -0.98 * x[:, 2],
+                -5.0 * x[:, 1],
+                0.005 * x[:, 3],
+                -0.1 * x[:, 4] + 0.2 * np.tanh(x[:, 1]),
+                0.02 * x[:, 2],
+            ],
+            axis=1,
+        ).astype(np.float32)
+        result = train_mlp(x, y, epochs=60, patience=15, learning_rate=3e-3)
+        assert np.isfinite(result.val_loss)
+        assert result.val_loss < 0.05, result.val_loss
+
+        # npz round trip
+        p = tmp_path / "mlp.npz"
+        save_mlp(p, result.params)
+        loaded = load_mlp(p)
+        xt = jnp.asarray(x[:8])
+        np.testing.assert_allclose(
+            np.asarray(mlp_forward(loaded, xt)),
+            np.asarray(mlp_forward(result.params, xt)),
+            atol=1e-6,
+        )
+
+
+class TestReferenceCheckpoint:
+    def test_load_reference_pth(self):
+        """Parity loader for the reference torch checkpoint
+        (reference utils.py:22-40)."""
+        import pathlib
+
+        ref = pathlib.Path("/root/reference/data/networks/model-dynamics.pth")
+        if not ref.exists():
+            pytest.skip("reference checkpoint not present")
+        from aircraft_tpu.dynamics.coefficients import MLPCoeffParams
+
+        params = MLPCoeffParams.from_torch_checkpoint(ref)
+        x = jnp.asarray(synthetic_inputs(16))
+        out = np.asarray(mlp_forward(params, x))
+        assert out.shape == (16, 6)
+        assert np.all(np.isfinite(out))
+
+        # cross-check against torch forward
+        import torch
+
+        ckpt = torch.load(ref, map_location="cpu", weights_only=True)
+        sd = ckpt["model_state_dict"]
+        xt = torch.tensor(np.asarray(x))
+        h = (xt - ckpt["input_mean"]) / ckpt["input_std"]
+        h = h @ sd["core_layers.0.weight"].T + sd["core_layers.0.bias"]
+        h = h @ sd["core_layers.1.weight"].T + sd["core_layers.1.bias"]
+        h = torch.tanh(h)
+        h = h @ sd["core_layers.3.weight"].T + sd["core_layers.3.bias"]
+        expected = (h * ckpt["output_std"] + ckpt["output_mean"]).numpy()
+        np.testing.assert_allclose(out, expected, atol=1e-5)
