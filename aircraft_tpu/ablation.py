@@ -1,0 +1,142 @@
+"""Ablation / regression harness over the transcription option grid.
+
+The reference sweeps {time} × {quaternion} × {integration} × {model} ×
+{substeps} serially and pastes IPOPT stats into todo.md (reference
+main/control/ablation.py:62-110; 175 H5 artifacts).  Here each case is a
+jitted solve and cases sharing a program shape reuse the compilation; the
+harness doubles as the perf-regression mechanism (SURVEY §6).
+
+Usage:
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m aircraft_tpu.ablation --quick
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aircraft_tpu.config import SolverConfig, TrajectoryConfig, glider_config
+from aircraft_tpu.control.aircraft import build_aircraft_ocp, goal_cost
+from aircraft_tpu.dynamics.aircraft import AircraftParams
+from aircraft_tpu.dynamics.coefficients import (
+    DefaultCoeffParams,
+    MLPCoeffParams,
+)
+from aircraft_tpu.observability import solver_metrics
+from aircraft_tpu.solvers import ilqr
+from aircraft_tpu.utils import TrajectoryData
+
+QUATERNION_MODES = ("integration", "expmap", "")
+SUBSTEPS = (1, 5, 10)
+MODELS = ("default", "nn")
+
+
+def _coeff(model: str):
+    if model == "default":
+        return DefaultCoeffParams()
+    if model == "nn":
+        return MLPCoeffParams.init(jax.random.PRNGKey(0))
+    raise ValueError(model)
+
+
+def run_case(
+    config: TrajectoryConfig,
+    *,
+    model: str,
+    quaternion: str,
+    substeps: int,
+    num_nodes: int,
+    dt: float,
+    goal,
+    solver_config: SolverConfig,
+) -> dict:
+    params = AircraftParams.from_config(config.aircraft, coeff=_coeff(model))
+    stage, terminal = goal_cost(jnp.asarray(goal), w_goal=1e-2, w_control=1e-2)
+    ocp = build_aircraft_ocp(
+        params, config, dt=dt, substeps=substeps, quaternion=quaternion,
+        stage_cost=stage, terminal_cost=terminal,
+    )
+    x0 = jnp.asarray(config.waypoints.initial_state, dtype=jnp.float32)
+    us0 = jnp.zeros((num_nodes, 7), dtype=jnp.float32)
+
+    t0 = time.time()
+    sol = ilqr.solve(ocp, x0, us0, solver_config)
+    jax.block_until_ready(sol.xs)
+    wall = time.time() - t0
+
+    xs = np.asarray(sol.xs)
+    qnorm_drift = float(np.abs(np.linalg.norm(xs[:, 6:10], axis=1) - 1.0).max())
+    m = solver_metrics(sol, wall)
+    m.update(
+        model=model, quaternion=quaternion or "none", substeps=substeps,
+        num_nodes=num_nodes, dt=dt,
+        goal_distance=float(np.linalg.norm(xs[-1, :3] - np.asarray(goal))),
+        quaternion_drift=qnorm_drift,
+        wall_s=round(wall, 2),
+    )
+    return m, sol
+
+
+def run_ablation(
+    config: Optional[TrajectoryConfig] = None,
+    *,
+    models=MODELS,
+    quaternion_modes=QUATERNION_MODES,
+    substeps_grid=SUBSTEPS,
+    num_nodes: int = 40,
+    dt: float = 0.05,
+    out_dir: Optional[str] = None,
+    solver_config: Optional[SolverConfig] = None,
+) -> list[dict]:
+    config = config or glider_config()
+    solver_config = solver_config or SolverConfig(max_al_iters=3, max_inner_iters=15)
+    init = np.asarray(config.waypoints.initial_state)
+    goal = init[:3] + np.array([120.0, 20.0, 10.0])
+
+    rows = []
+    for model, qmode, ss in itertools.product(models, quaternion_modes, substeps_grid):
+        try:
+            m, sol = run_case(
+                config, model=model, quaternion=qmode, substeps=ss,
+                num_nodes=num_nodes, dt=dt, goal=goal,
+                solver_config=solver_config,
+            )
+            if out_dir:
+                Path(out_dir).mkdir(parents=True, exist_ok=True)
+                name = f"traj_{model}_{qmode or 'none'}_ss{ss}"
+                TrajectoryData(
+                    state=np.asarray(sol.xs), control=np.asarray(sol.us)
+                ).save_npz(Path(out_dir) / f"{name}.npz")
+        except Exception as e:  # a failed case must not kill the sweep
+            m = {"model": model, "quaternion": qmode or "none", "substeps": ss,
+                 "error": repr(e)}
+        rows.append(m)
+        print(json.dumps(m), flush=True)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small grid")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    if args.quick:
+        run_ablation(
+            models=("default",), quaternion_modes=("integration", ""),
+            substeps_grid=(1, 5), num_nodes=20, dt=0.05, out_dir=args.out,
+            solver_config=SolverConfig(max_al_iters=2, max_inner_iters=8),
+        )
+    else:
+        run_ablation(out_dir=args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -303,3 +303,32 @@ COEFF_MODEL_REGISTRY = {
     "poly": PolyCoeffParams,
     "nn": MLPCoeffParams,
 }
+
+
+def poly_from_npz(path) -> PolyCoeffParams:
+    """Load a polynomial model saved by examples/fit_surrogates.py."""
+    d = np.load(path)
+    return PolyCoeffParams.make(
+        weights=d["weights"], intercept=d["intercept"],
+        span=float(d["span_over_4"]) * 4.0, input_scale=d["input_scale"],
+    )
+
+
+def load_coefficient_model(kind: str, path=None):
+    """Name+path loader with the reference registry's semantics
+    (reference coefficient_models.py:32-37): 'default' needs no artifact;
+    'linear' reads a CSV; 'poly' an npz; 'nn' an npz (ours) or .pth
+    (reference checkpoint)."""
+    if kind == "default":
+        return DefaultCoeffParams()
+    if kind == "linear":
+        return LinearCoeffParams.from_csv(path)
+    if kind == "poly":
+        return poly_from_npz(path)
+    if kind == "nn":
+        if str(path).endswith(".pth"):
+            return MLPCoeffParams.from_torch_checkpoint(path)
+        from aircraft_tpu.surrogates.models import load_mlp
+
+        return load_mlp(path)
+    raise ValueError(f"unknown coefficient model kind: {kind}")

@@ -1,0 +1,157 @@
+"""Tests for the auxiliary subsystems: PID, DDPG RL, inverse dynamics,
+observability, trajectory IO, plotting."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aircraft_tpu.config import SolverConfig, glider_config
+from aircraft_tpu.dynamics.aircraft import AircraftParams
+
+CFG = glider_config()
+
+
+class TestPID:
+    def test_scalar_pid_converges_on_first_order_plant(self):
+        from aircraft_tpu.control.pid import PIDGains, pid_init, pid_step
+
+        gains = PIDGains(kp=2.0, ki=0.5, kd=0.05, limit=10.0)
+        y, s = 0.0, pid_init()
+        target, dt = 1.0, 0.05
+        for _ in range(200):
+            u, s = pid_step(gains, s, jnp.atleast_1d(target - y), dt)
+            y = y + dt * (-y + float(u[0]))  # first-order plant
+        assert abs(y - target) < 0.1
+
+    def test_attitude_pid_episode(self):
+        from aircraft_tpu.control.pid import simulate_pid
+
+        params = AircraftParams.from_config(CFG.aircraft)
+        x0 = jnp.asarray(CFG.waypoints.initial_state, dtype=jnp.float32)
+        T = 50
+        roll_t = jnp.full((T,), 0.2)
+        pitch_t = jnp.zeros((T,))
+        xs, us = simulate_pid(params, x0, roll_t, pitch_t, dt=0.02)
+        assert xs.shape == (T + 1, 13) and us.shape == (T, 7)
+        assert np.all(np.isfinite(np.asarray(xs)))
+        from aircraft_tpu.ops import quaternion as quat
+
+        eul = np.asarray(quat.to_euler(xs[:, 6:10]))
+        # roll moves toward the setpoint
+        assert eul[-1, 0] > eul[0, 0]
+
+
+class TestDDPG:
+    def test_update_step_improves_critic(self):
+        from aircraft_tpu.rl.ddpg import DDPGAgent, ReplayBuffer, Transition
+
+        rng = np.random.default_rng(0)
+        agent = DDPGAgent(obs_dim=4, act_dim=2, seed=0)
+        buf = ReplayBuffer(1000, 4, 2)
+        # toy MDP: reward = -|obs|²; transitions random
+        for _ in range(300):
+            o = rng.standard_normal(4).astype(np.float32)
+            a = agent.act(o, noise=rng.standard_normal(2) * 0.5)
+            no = o + 0.1 * rng.standard_normal(4).astype(np.float32)
+            buf.add(o, a, -float(np.sum(o**2)), no, False)
+        losses = [agent.train_step(buf.sample(rng, 64))[0] for _ in range(60)]
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+    def test_curriculum_advances(self):
+        from aircraft_tpu.rl.ddpg import CurriculumLearning
+
+        cur = CurriculumLearning(window=10)
+        advanced = False
+        for _ in range(12):
+            advanced |= cur.record(True)
+        assert advanced and cur.stage_idx == 1
+
+
+class TestInverseDynamics:
+    def test_force_matching_solve(self):
+        from aircraft_tpu.control.inverse_dynamics import solve_inverse_dynamics
+
+        params = AircraftParams.from_config(CFG.aircraft)
+        x0 = np.asarray(CFG.waypoints.initial_state)
+        goal = x0[:3] + np.array([60.0, 5.0, 5.0])
+        sol = solve_inverse_dynamics(
+            params, CFG, goal, num_nodes=30, dt=0.05, substeps=5,
+            solver_config=SolverConfig(max_al_iters=4, max_inner_iters=15),
+        )
+        xs = np.asarray(sol.xs)
+        assert np.all(np.isfinite(xs))
+        # reaches the neighbourhood of the goal
+        assert np.linalg.norm(xs[-1, :3] - goal) < 25.0
+        # force/moment matching residual (the eq constraint) is small
+        assert float(sol.violation) < 0.5
+
+
+class TestObservability:
+    def test_solver_metrics_and_registry(self):
+        from aircraft_tpu.observability import ConstraintRegistry, solver_metrics
+
+        class FakeSol:
+            cost = jnp.asarray([1.0, 2.0])
+            violation = jnp.asarray([1e-7, 3e-3])
+            converged = jnp.asarray([True, False])
+            iterations = jnp.asarray([10, 25])
+            grad_norm = jnp.asarray([1e-5, 1e-2])
+
+        m = solver_metrics(FakeSol(), wall_time=0.5)
+        assert m["n_scenarios"] == 2 and m["success_rate"] == 0.5
+        assert m["solves_per_s"] == 4.0
+
+        reg = ConstraintRegistry()
+        reg.register("control_ub", 7)
+        reg.register("airspeed_low", 1)
+        assert reg.describe(7) == "airspeed_low"
+        rep = reg.report_violations(np.array([0.0] * 7 + [0.5]))
+        assert rep == ["airspeed_low: 5.000e-01"]
+
+    def test_nan_locator(self):
+        from aircraft_tpu.observability import locate_nan_in_jacobian
+
+        def bad_step(x, u):
+            return x / u  # NaN jacobian rows where u == 0
+
+        info = locate_nan_in_jacobian(
+            bad_step, jnp.ones(3), jnp.array([1.0, 0.0, 2.0])
+        )
+        assert 1 in info["B_bad_rows"]
+
+
+class TestTrajectoryIO:
+    def test_npz_and_h5_roundtrip(self, tmp_path):
+        from aircraft_tpu.utils import TrajectoryData
+
+        data = TrajectoryData(
+            state=np.random.randn(11, 13).astype(np.float32),
+            control=np.random.randn(10, 7).astype(np.float32),
+            time=np.arange(10, dtype=np.float32) * 0.01,
+        )
+        p = tmp_path / "t.npz"
+        data.save_npz(p)
+        back = TrajectoryData.load_npz(p)
+        np.testing.assert_allclose(back.state, data.state)
+
+        h = tmp_path / "t.h5"
+        data.save_h5(h, iteration=3)
+        back = TrajectoryData.load_h5(h)
+        np.testing.assert_allclose(back.state, data.state)
+        np.testing.assert_allclose(back.control, data.control)
+
+    def test_plotter_renders(self, tmp_path):
+        from aircraft_tpu.plotting import TrajectoryPlotter
+        from aircraft_tpu.utils import TrajectoryData
+
+        xs = np.zeros((30, 13), dtype=np.float32)
+        xs[:, 0] = np.linspace(0, 100, 30)
+        xs[:, 2] = -200
+        xs[:, 9] = 1.0
+        xs[:, 3] = 50.0
+        data = TrajectoryData(state=xs, control=np.zeros((29, 7), np.float32))
+        out = tmp_path / "dash.png"
+        TrajectoryPlotter(waypoints=np.array([[50.0, 0, -200]])).save(data, out)
+        assert out.exists() and out.stat().st_size > 10000
