@@ -270,6 +270,11 @@ class SolverConfig:
     reg_max: float = 1e8
     line_search_steps: int = 12
     rollout_substeps: int = 1
+    # 'exact' differentiates the full AL (IPOPT-parity Hessian, reference
+    # config.py:29) — needed for complementarity-coupled constraints;
+    # 'gauss_newton' builds constraint curvature as μ JᵀJ (PSD by
+    # construction, much smaller XLA program) — preferred for MPC windows
+    hessian: str = "exact"
 
 
 # State/control scaling used by the reference solve (reference config.py:58-65)

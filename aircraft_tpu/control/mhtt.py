@@ -147,8 +147,10 @@ class MHTT:
         self.dt = dt
         self.overlap = overlap
         self.commit = num_nodes - overlap
+        # MPC windows favour the Gauss-Newton Hessian: PSD curvature and a
+        # much smaller compiled program (no complementarity terms here)
         self.solver_config = solver_config or SolverConfig(
-            max_al_iters=2, max_inner_iters=12
+            max_al_iters=2, max_inner_iters=12, hessian="gauss_newton"
         )
         self.ocp = build_mhtt_ocp(
             params, config, track.track_points, track.length(), dt=dt,

@@ -80,6 +80,74 @@ def _quadraticize(ocp: OCPFunctions, al: ALState, xs, us):
     return lx, lu, lxx, luu, lux, vx, vxx
 
 
+def _quadraticize_gn(ocp: OCPFunctions, al: ALState, xs, us):
+    """Gauss–Newton expansion: exact gradient of the AL, exact Hessian of
+    the *cost* terms, and first-order (μ JᵀJ on the active set) curvature
+    for the constraint terms.  PSD constraint curvature by construction —
+    the robust choice for stiff aero models (SURVEY §7 hard part 3) — and a
+    much smaller traced graph than differentiating through the constraint
+    Jacobians."""
+    N = us.shape[0]
+    ks = jnp.arange(N)
+    mu = al.mu
+
+    def stage(x, u, k):
+        cx = jax.grad(ocp.stage_cost, argnums=0)(x, u, k)
+        cu = jax.grad(ocp.stage_cost, argnums=1)(x, u, k)
+        cxx = jax.hessian(ocp.stage_cost, argnums=0)(x, u, k)
+        cuu = jax.hessian(ocp.stage_cost, argnums=1)(x, u, k)
+        cux = jax.jacfwd(lambda xx: jax.grad(ocp.stage_cost, argnums=1)(xx, u, k))(x)
+
+        # inequality block: active-set PHR
+        g = ocp.ineq(x, u, k)
+        if g.shape[-1] > 0:
+            Jgx = jax.jacfwd(lambda xx: ocp.ineq(xx, u, k))(x)
+            Jgu = jax.jacfwd(lambda uu: ocp.ineq(x, uu, k))(u)
+            lam = al.lam_ineq[k]
+            act = (g + lam / mu) > 0.0
+            y = jnp.where(act, lam + mu * g, 0.0)
+            w = jnp.where(act, mu, 0.0)
+            cx = cx + Jgx.T @ y
+            cu = cu + Jgu.T @ y
+            cxx = cxx + Jgx.T @ (w[:, None] * Jgx)
+            cuu = cuu + Jgu.T @ (w[:, None] * Jgu)
+            cux = cux + Jgu.T @ (w[:, None] * Jgx)
+
+        # equality block
+        h = ocp.eq(x, u, k)
+        if h.shape[-1] > 0:
+            Jhx = jax.jacfwd(lambda xx: ocp.eq(xx, u, k))(x)
+            Jhu = jax.jacfwd(lambda uu: ocp.eq(x, uu, k))(u)
+            yh = al.lam_eq[k] + mu * h
+            cx = cx + Jhx.T @ yh
+            cu = cu + Jhu.T @ yh
+            cxx = cxx + mu * Jhx.T @ Jhx
+            cuu = cuu + mu * Jhu.T @ Jhu
+            cux = cux + mu * Jhu.T @ Jhx
+        return cx, cu, cxx, cuu, cux
+
+    lx, lu, lxx, luu, lux = jax.vmap(stage)(xs[:-1], us, ks)
+
+    xT = xs[-1]
+    vx = jax.grad(ocp.terminal_cost)(xT)
+    vxx = jax.hessian(ocp.terminal_cost)(xT)
+    gT = ocp.terminal_ineq(xT)
+    if gT.shape[-1] > 0:
+        Jg = jax.jacfwd(ocp.terminal_ineq)(xT)
+        act = (gT + al.lam_t_ineq / mu) > 0.0
+        y = jnp.where(act, al.lam_t_ineq + mu * gT, 0.0)
+        w = jnp.where(act, mu, 0.0)
+        vx = vx + Jg.T @ y
+        vxx = vxx + Jg.T @ (w[:, None] * Jg)
+    hT = ocp.terminal_eq(xT)
+    if hT.shape[-1] > 0:
+        Jh = jax.jacfwd(ocp.terminal_eq)(xT)
+        yh = al.lam_t_eq + mu * hT
+        vx = vx + Jh.T @ yh
+        vxx = vxx + mu * Jh.T @ Jh
+    return lx, lu, lxx, luu, lux, vx, vxx
+
+
 # ---------------------------------------------------------------------------
 # backward Riccati sweep
 # ---------------------------------------------------------------------------
@@ -221,7 +289,8 @@ def solve(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
         cost_prev = ocp_mod.al_total_cost(ocp, al, xs, us)
 
         A, B = linearize(xs, us)
-        lx, lu, lxx, luu, lux, vx, vxx = _quadraticize(ocp, al, xs, us)
+        quad = _quadraticize_gn if config.hessian == "gauss_newton" else _quadraticize
+        lx, lu, lxx, luu, lux, vx, vxx = quad(ocp, al, xs, us)
         K, kff, dv1, dv2, qu_max, fail = _backward_pass(
             A, B, lx, lu, lxx, luu, lux, vx, vxx, reg
         )

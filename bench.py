@@ -65,7 +65,7 @@ def main():
     track = DubinsInitialiser(cfg)
     ocp = build_mhtt_ocp(params, cfg, track.track_points, track.length(), dt=DT)
 
-    solver_cfg = SolverConfig(max_al_iters=2, max_inner_iters=8)
+    solver_cfg = SolverConfig(max_al_iters=2, max_inner_iters=8, hessian="gauss_newton")
 
     x0 = jnp.concatenate(
         [jnp.asarray(cfg.waypoints.initial_state, dtype=jnp.float32),
