@@ -270,6 +270,9 @@ class SolverConfig:
     reg_max: float = 1e8
     line_search_steps: int = 12
     rollout_substeps: int = 1
+    # 'sequential' = O(N) Riccati scan; 'associative' = O(log N)-depth
+    # parallel-in-time sweep (wins at long horizons)
+    riccati: str = "sequential"
     # 'exact' differentiates the full AL (IPOPT-parity Hessian, reference
     # config.py:29) — needed for complementarity-coupled constraints;
     # 'gauss_newton' builds constraint curvature as μ JᵀJ (PSD by

@@ -38,6 +38,7 @@ from flax import struct
 
 from aircraft_tpu.config import SolverConfig
 from aircraft_tpu.solvers import ocp as ocp_mod
+from aircraft_tpu.solvers import riccati as riccati_mod
 from aircraft_tpu.solvers.ocp import ALState, OCPFunctions
 
 
@@ -153,47 +154,14 @@ def _quadraticize_gn(ocp: OCPFunctions, al: ALState, xs, us):
 # ---------------------------------------------------------------------------
 
 
-def _backward_pass(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg):
+def _backward_pass(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg,
+                   mode: str = "sequential"):
     """Riccati recursion over the horizon (the factorisation step MUMPS did
-    for IPOPT, restructured as a `lax.scan` over (N) small dense blocks).
-
-    Returns gains (K, k), expected improvement terms, and a PD-failure flag.
-    """
-
-    def step(carry, inp):
-        Vx, Vxx, fail = carry
-        A_k, B_k, lx_k, lu_k, lxx_k, luu_k, lux_k = inp
-
-        Qx = lx_k + A_k.T @ Vx
-        Qu = lu_k + B_k.T @ Vx
-        Qxx = lxx_k + A_k.T @ Vxx @ A_k
-        Quu = luu_k + B_k.T @ Vxx @ B_k
-        Qux = lux_k + B_k.T @ Vxx @ A_k
-
-        m = Qu.shape[0]
-        Quu_reg = 0.5 * (Quu + Quu.T) + reg * jnp.eye(m, dtype=Quu.dtype)
-        L = jnp.linalg.cholesky(Quu_reg)
-        bad = jnp.any(jnp.isnan(L))
-        L_safe = jnp.where(bad, jnp.eye(m, dtype=L.dtype), L)
-
-        rhs = jnp.concatenate([Qu[:, None], Qux], axis=1)
-        sol = jax.scipy.linalg.cho_solve((L_safe, True), rhs)
-        k_k = -sol[:, 0]
-        K_k = -sol[:, 1:]
-
-        Vx_new = Qx + K_k.T @ Quu @ k_k + K_k.T @ Qu + Qux.T @ k_k
-        Vxx_new = Qxx + K_k.T @ Quu @ K_k + K_k.T @ Qux + Qux.T @ K_k
-        Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
-
-        dv1 = k_k @ Qu
-        dv2 = 0.5 * k_k @ Quu @ k_k
-        return (Vx_new, Vxx_new, fail | bad), (K_k, k_k, dv1, dv2, jnp.max(jnp.abs(Qu)))
-
-    (_, _, fail), (K, k, dv1, dv2, qu_max) = jax.lax.scan(
-        step, (vx, vxx, jnp.asarray(False)), (A, B, lx, lu, lxx, luu, lux),
-        reverse=True,
-    )
-    return K, k, jnp.sum(dv1), jnp.sum(dv2), jnp.max(qu_max), fail
+    for IPOPT). Delegates to solvers/riccati.py: a sequential `lax.scan`
+    or the O(log N)-depth associative-scan sweep."""
+    fn = (riccati_mod.backward_associative if mode == "associative"
+          else riccati_mod.backward_sequential)
+    return fn(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg)
 
 
 # ---------------------------------------------------------------------------
@@ -292,7 +260,7 @@ def solve(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
         quad = _quadraticize_gn if config.hessian == "gauss_newton" else _quadraticize
         lx, lu, lxx, luu, lux, vx, vxx = quad(ocp, al, xs, us)
         K, kff, dv1, dv2, qu_max, fail = _backward_pass(
-            A, B, lx, lu, lxx, luu, lux, vx, vxx, reg
+            A, B, lx, lu, lxx, luu, lux, vx, vxx, reg, config.riccati
         )
 
         xs_new, us_new, cost_new, alpha = _forward_pass(ocp, al, xs, us, K, kff, alphas)

@@ -1,0 +1,146 @@
+"""Riccati backward sweeps: sequential scan and parallel-in-time
+associative scan.
+
+The horizon is this domain's "sequence axis" (SURVEY §5.7): the reference
+scales it by windowing because its solve is inherently serial; on TPU the
+LQR backward pass itself parallelises.  Each knot contributes a
+conditional-value-function element and the combination of such elements is
+associative, so `jax.lax.associative_scan` reduces the whole horizon in
+O(log N) depth instead of O(N) — the classical temporal-parallelisation
+result for LQT (Särkkä & García-Fernández, "Temporal Parallelization of
+Bayesian Smoothers"), applied here to the iLQR inner step.
+
+Cross terms (l_ux) are removed up front by the standard substitution
+ū = u + L x with L = l_uu⁻¹ l_ux, which shifts A ← A − B L and
+l_xx ← l_xx − l_uxᵀ L; linear cost terms ride the affine element slots.
+
+Both sweeps return identical gains (tests/test_riccati.py); pick
+`riccati='associative'` for long horizons (N ≳ 128) where the log-depth
+critical path wins.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _chol_solve(M, rhs, reg):
+    m = M.shape[-1]
+    L = jnp.linalg.cholesky(0.5 * (M + jnp.swapaxes(M, -1, -2)) + reg * jnp.eye(m, dtype=M.dtype))
+    bad = jnp.any(jnp.isnan(L))
+    L = jnp.where(bad, jnp.eye(m, dtype=M.dtype), L)
+    return jax.scipy.linalg.cho_solve((L, True), rhs), bad
+
+
+def backward_sequential(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg):
+    """Classic O(N) Riccati recursion (used by ilqr._backward_pass; kept
+    here as the reference implementation for the parallel variant)."""
+
+    def step(carry, inp):
+        Vx, Vxx, fail = carry
+        A_k, B_k, lx_k, lu_k, lxx_k, luu_k, lux_k = inp
+        Qx = lx_k + A_k.T @ Vx
+        Qu = lu_k + B_k.T @ Vx
+        Qxx = lxx_k + A_k.T @ Vxx @ A_k
+        Quu = luu_k + B_k.T @ Vxx @ B_k
+        Qux = lux_k + B_k.T @ Vxx @ A_k
+        sol, bad = _chol_solve(Quu, jnp.concatenate([Qu[:, None], Qux], axis=1), reg)
+        k_k, K_k = -sol[:, 0], -sol[:, 1:]
+        Vx_new = Qx + K_k.T @ Quu @ k_k + K_k.T @ Qu + Qux.T @ k_k
+        Vxx_new = Qxx + K_k.T @ Quu @ K_k + K_k.T @ Qux + Qux.T @ K_k
+        Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
+        dv1 = k_k @ Qu
+        dv2 = 0.5 * k_k @ Quu @ k_k
+        return (Vx_new, Vxx_new, fail | bad), (K_k, k_k, dv1, dv2, jnp.max(jnp.abs(Qu)))
+
+    (_, _, fail), (K, k, dv1, dv2, qu) = jax.lax.scan(
+        step, (vx, vxx, jnp.asarray(False)), (A, B, lx, lu, lxx, luu, lux),
+        reverse=True,
+    )
+    return K, k, jnp.sum(dv1), jnp.sum(dv2), jnp.max(qu), fail
+
+
+def backward_associative(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg):
+    """O(log N)-depth Riccati via associative scan over conditional-value
+    elements (A_e, b_e, C_e, η_e, J_e):
+
+        V_{k|j}(x) is parameterised by the element combining rule
+        e1 ⊗ e2 with G = (I + C1 J2)⁻¹:
+            A = A2 G A1
+            b = A2 G (b1 + C1 η2) + b2
+            C = A2 G C1 A2ᵀ + C2
+            η = A1ᵀ Gᵀ (η2 − J2 b1) + η1
+            J = A1ᵀ Gᵀ J2 A1 + J1
+
+    Gains are recovered per-knot from the scanned V_{k+1} in one vmap.
+    """
+    N, n = A.shape[0], A.shape[1]
+    m = B.shape[2]
+    dtype = A.dtype
+    eye_n = jnp.eye(n, dtype=dtype)
+    eye_m = jnp.eye(m, dtype=dtype)
+
+    # regularise and remove cross terms: ū = u + L x, L = luu⁻¹ lux
+    luu_r = 0.5 * (luu + jnp.swapaxes(luu, -1, -2)) + reg * eye_m
+    chol = jnp.linalg.cholesky(luu_r)
+    fail = jnp.any(jnp.isnan(chol))
+    chol = jnp.where(fail, jnp.eye(m, dtype=dtype), chol)
+    Lmat = jax.vmap(lambda c, M: jax.scipy.linalg.cho_solve((c, True), M))(chol, lux)
+    lu_bar = jax.vmap(lambda c, v: jax.scipy.linalg.cho_solve((c, True), v))(chol, lu)
+
+    A_bar = A - jnp.einsum("kij,kjl->kil", B, Lmat)
+    lxx_bar = lxx - jnp.einsum("kji,kjl->kil", lux, Lmat)
+    lx_bar = lx - jnp.einsum("kji,kj->ki", lux, lu_bar)
+
+    Rinv = jax.vmap(lambda c: jax.scipy.linalg.cho_solve((c, True), eye_m))(chol)
+    C_e = jnp.einsum("kij,kjl,kml->kim", B, Rinv, B)
+    b_e = -jnp.einsum("kij,kjl,kl->ki", B, Rinv, lu)
+
+    # stage elements; terminal boundary appended as an extra element
+    A_el = jnp.concatenate([A_bar, jnp.zeros((1, n, n), dtype)], axis=0)
+    b_el = jnp.concatenate([b_e, jnp.zeros((1, n), dtype)], axis=0)
+    C_el = jnp.concatenate([C_e, jnp.zeros((1, n, n), dtype)], axis=0)
+    eta_el = jnp.concatenate([-lx_bar, -vx[None]], axis=0)
+    J_el = jnp.concatenate([lxx_bar, vxx[None]], axis=0)
+
+    def combine(e_late, e_early):
+        # under reverse=True, associative_scan feeds the HIGHER-index block
+        # as the first argument (empirically: scan[0] = f(e_N, ... f(e_1, e_0)))
+        A1, b1, C1, eta1, J1 = e_early
+        A2, b2, C2, eta2, J2 = e_late
+        n_ = A1.shape[-1]
+        I = jnp.eye(n_, dtype=A1.dtype)
+        G = jnp.linalg.solve(I + jnp.einsum("...ij,...jk->...ik", C1, J2), I)
+        # (I + J2 C1)^{-1} = G^T for symmetric C1, J2
+        GT = jnp.swapaxes(G, -1, -2)
+        A2G = jnp.einsum("...ij,...jk->...ik", A2, G)
+        A_new = jnp.einsum("...ij,...jk->...ik", A2G, A1)
+        b_new = jnp.einsum("...ij,...j->...i", A2G,
+                           b1 + jnp.einsum("...ij,...j->...i", C1, eta2)) + b2
+        C_new = jnp.einsum("...ij,...jk,...lk->...il", A2G, C1, A2) + C2
+        A1T_GT = jnp.einsum("...ji,...jk->...ik", A1, GT)
+        eta_new = jnp.einsum("...ij,...j->...i", A1T_GT,
+                             eta2 - jnp.einsum("...ij,...j->...i", J2, b1)) + eta1
+        J_new = jnp.einsum("...ij,...jk,...kl->...il", A1T_GT, J2, A1) + J1
+        J_new = 0.5 * (J_new + jnp.swapaxes(J_new, -1, -2))
+        return (A_new, b_new, C_new, eta_new, J_new)
+
+    elems = (A_el, b_el, C_el, eta_el, J_el)
+    scanned = jax.lax.associative_scan(combine, elems, reverse=True, axis=0)
+    # V_k params for k = 0..N (scanned[k] combines stages k..N)
+    eta_all, J_all = scanned[3], scanned[4]
+    Vx_next, Vxx_next = -eta_all[1:], J_all[1:]     # V_{k+1} for k = 0..N-1
+
+    def gains(A_k, B_k, lu_k, luu_k, lux_k, Vx1, Vxx1):
+        Qu = lu_k + B_k.T @ Vx1
+        Quu = luu_k + B_k.T @ Vxx1 @ B_k
+        Qux = lux_k + B_k.T @ Vxx1 @ A_k
+        sol, bad = _chol_solve(Quu, jnp.concatenate([Qu[:, None], Qux], axis=1), reg)
+        K_k, k_k = -sol[:, 1:], -sol[:, 0]
+        dv1 = k_k @ Qu
+        dv2 = 0.5 * k_k @ Quu @ k_k
+        return K_k, k_k, dv1, dv2, jnp.max(jnp.abs(Qu)), bad
+
+    K, k, dv1, dv2, qu, bads = jax.vmap(gains)(A, B, lu, luu, lux, Vx_next, Vxx_next)
+    return K, k, jnp.sum(dv1), jnp.sum(dv2), jnp.max(qu), fail | jnp.any(bads)

@@ -1,0 +1,47 @@
+"""Sequential vs associative-scan Riccati equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aircraft_tpu.solvers import riccati
+
+RNG = np.random.default_rng(9)
+
+
+def random_lq_problem(N, n, m, with_cross=True, with_linear=True):
+    A = (np.eye(n) + 0.05 * RNG.normal(0, 1, (N, n, n))).astype(np.float32)
+    B = 0.1 * RNG.normal(0, 1, (N, n, m)).astype(np.float32)
+    # PSD stage costs
+    W = RNG.normal(0, 1, (N, n, n)).astype(np.float32)
+    lxx = (np.einsum("kij,klj->kil", W, W) / n + np.eye(n)[None]).astype(np.float32)
+    Wu = RNG.normal(0, 1, (N, m, m)).astype(np.float32)
+    luu = (np.einsum("kij,klj->kil", Wu, Wu) / m + np.eye(m)[None]).astype(np.float32)
+    lux = (0.1 * RNG.normal(0, 1, (N, m, n)) if with_cross else np.zeros((N, m, n))).astype(np.float32)
+    lx = (RNG.normal(0, 1, (N, n)) if with_linear else np.zeros((N, n))).astype(np.float32)
+    lu = (RNG.normal(0, 1, (N, m)) if with_linear else np.zeros((N, m))).astype(np.float32)
+    vx = RNG.normal(0, 1, n).astype(np.float32)
+    Wt = RNG.normal(0, 1, (n, n)).astype(np.float32)
+    vxx = (Wt @ Wt.T / n + np.eye(n)).astype(np.float32)
+    return tuple(jnp.asarray(a) for a in (A, B, lx, lu, lxx, luu, lux, vx, vxx))
+
+
+@pytest.mark.parametrize("N,n,m", [(8, 4, 2), (33, 13, 7), (64, 6, 3)])
+def test_associative_matches_sequential(N, n, m):
+    prob = random_lq_problem(N, n, m)
+    reg = jnp.asarray(1e-6)
+    K_s, k_s, _, _, _, fail_s = riccati.backward_sequential(*prob, reg)
+    K_a, k_a, _, _, _, fail_a = riccati.backward_associative(*prob, reg)
+    assert not bool(fail_s) and not bool(fail_a)
+    np.testing.assert_allclose(np.asarray(K_a), np.asarray(K_s), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(k_a), np.asarray(k_s), rtol=2e-3, atol=2e-3)
+
+
+def test_no_cross_no_linear():
+    prob = random_lq_problem(16, 5, 2, with_cross=False, with_linear=False)
+    reg = jnp.asarray(1e-6)
+    K_s, k_s, *_ = riccati.backward_sequential(*prob, reg)
+    K_a, k_a, *_ = riccati.backward_associative(*prob, reg)
+    np.testing.assert_allclose(np.asarray(K_a), np.asarray(K_s), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(k_a), np.asarray(k_s), atol=1e-4)
