@@ -42,8 +42,10 @@ def build_waypoint_ocp(
     dt: float,
     num_nodes: int,
     substeps: int = 1,
-    time_mode: str = "fixed",           # 'fixed' | 'progress'
+    time_mode: str = "fixed",  # 'fixed' | 'progress' | 'variable' | 'adaptive'
     dt_bounds: tuple[float, float] = (1e-3, 5e-2),
+    adaptive_tol: float = 1e-2,
+    adaptive_alpha: float = 1e-2,
     w_effort: float = 0.05,
     w_time: float = 1.0,
     w_mu: float = 1e-3,
@@ -61,14 +63,20 @@ def build_waypoint_ocp(
 
     step13 = integrators.make_step_fn(params, substeps=substeps, normalize="step")
     env = envelope_ineq(params, config.state, config.control)
-    progress_time = time_mode == "progress"
+    # free-time modes make the knot timestep a decision variable
+    # (reference control/base.py:361-379):
+    #   'progress': dt = 1/ν²   'variable'/'adaptive': dt = ν²
+    progress_time = time_mode in ("progress", "variable", "adaptive")
 
     def split(z, v):
         x, lam = z[..., :13], z[..., 13 : 13 + n_wp]
         u, mu = v[..., :7], v[..., 7 : 7 + n_wp]
-        if progress_time:
+        if time_mode == "progress":
             nu = v[..., 7 + n_wp]
             dt_k = 1.0 / (nu * nu + 1e-9)
+        elif time_mode in ("variable", "adaptive"):
+            nu = v[..., 7 + n_wp]
+            dt_k = nu * nu
         else:
             dt_k = dt
         return x, lam, u, mu, dt_k
@@ -111,9 +119,25 @@ def build_waypoint_ocp(
         ]
         if progress_time:
             nu = v[..., 7 + n_wp]
-            lo = 1.0 / np.sqrt(dt_bounds[1])
-            hi = 1.0 / np.sqrt(dt_bounds[0])
+            if time_mode == "progress":
+                lo = 1.0 / np.sqrt(dt_bounds[1])
+                hi = 1.0 / np.sqrt(dt_bounds[0])
+            else:
+                lo = np.sqrt(dt_bounds[0])
+                hi = np.sqrt(dt_bounds[1])
             parts.append(jnp.stack([lo - nu, nu - hi]))
+        if time_mode == "adaptive":
+            # local-truncation-error surrogate bound (reference
+            # control/base.py:309-319): α dt² (Jf)ᵀ J (Jf) ≤ tol, with the
+            # Jacobian-vector products taken by jvp — no materialised J
+            from aircraft_tpu.dynamics import aircraft as _ac
+
+            f = lambda xx: _ac.state_derivative(params, xx, u)
+            fx = f(x)
+            _, Jf = jax.jvp(f, (x,), (fx,))
+            _, JJf = jax.jvp(f, (x,), (Jf,))
+            err = adaptive_alpha * dt_k * dt_k * jnp.dot(Jf, JJf)
+            parts.append(jnp.atleast_1d(err - adaptive_tol))
         return jnp.concatenate(parts, axis=-1)
 
     def terminal_eq(z):
@@ -147,12 +171,15 @@ def initial_guess(
     i_switch = np.minimum(
         (num_nodes * cum[1:] / max(cum[-1], 1e-9)).astype(int), num_nodes - 1
     )
-    m = 7 + n_wp + (1 if time_mode == "progress" else 0)
+    free_time = time_mode in ("progress", "variable", "adaptive")
+    m = 7 + n_wp + (1 if free_time else 0)
     vs = np.zeros((num_nodes, m), dtype=np.float32)
     for j, i in enumerate(i_switch):
         vs[i, 7 + j] = 1.0
     if time_mode == "progress":
         vs[:, -1] = 1.0 / np.sqrt(dt)
+    elif free_time:
+        vs[:, -1] = np.sqrt(dt)
     return z0, jnp.asarray(vs)
 
 

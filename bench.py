@@ -51,15 +51,21 @@ def main():
         pass
 
     cfg = glider_config()
-    coeff = MLPCoeffParams.init(jax.random.PRNGKey(0))
-    # surrogate scalers roughly matching the reference data distribution so
-    # outputs are aero-plausible
-    coeff = coeff.replace(
-        input_mean=jnp.asarray([1500.0, 0.0, 0.0, 0.0, 0.0]),
-        input_std=jnp.asarray([1000.0, 0.15, 0.15, 3.0, 3.0]),
-        output_mean=jnp.asarray([-0.05, 0.0, -0.4, 0.0, 0.0, 0.0]),
-        output_std=jnp.asarray([0.05, 0.05, 0.3, 0.03, 0.1, 0.01]),
-    )
+    mlp_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "data", "networks", "mlp.npz")
+    if os.path.exists(mlp_path):
+        # surrogate trained from the reference wind-tunnel CSV
+        # (examples/fit_surrogates.py)
+        from aircraft_tpu.surrogates.models import load_mlp
+
+        coeff = load_mlp(mlp_path)
+    else:
+        coeff = MLPCoeffParams.init(jax.random.PRNGKey(0)).replace(
+            input_mean=jnp.asarray([1500.0, 0.0, 0.0, 0.0, 0.0]),
+            input_std=jnp.asarray([1000.0, 0.15, 0.15, 3.0, 3.0]),
+            output_mean=jnp.asarray([-0.05, 0.0, -0.4, 0.0, 0.0, 0.0]),
+            output_std=jnp.asarray([0.05, 0.05, 0.3, 0.03, 0.1, 0.01]),
+        )
     params = AircraftParams.from_config(cfg.aircraft, coeff=coeff)
 
     track = DubinsInitialiser(cfg)
