@@ -270,6 +270,10 @@ class SolverConfig:
     reg_max: float = 1e8
     line_search_steps: int = 12
     rollout_substeps: int = 1
+    # cap on feedback/feedforward gain magnitudes — diverged linearisation
+    # knots otherwise emit astronomically large gains whose candidates can
+    # never pass the line search (safe: acceptance still requires descent)
+    gain_clip: float = 1e4
     # 'sequential' = O(N) Riccati scan; 'associative' = O(log N)-depth
     # parallel-in-time sweep (wins at long horizons)
     riccati: str = "sequential"

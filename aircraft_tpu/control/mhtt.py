@@ -159,6 +159,9 @@ class MHTT:
         self._solve = jax.jit(
             lambda z0, us: ilqr.solve(self.ocp, z0, us, self.solver_config)
         )
+        self._solve_batch = jax.jit(
+            lambda z0s, uss: ilqr.solve_batch(self.ocp, z0s, uss, self.solver_config)
+        )
 
     def solve_window(self, x0: jax.Array, s0: float, us_init: jax.Array) -> MHTTWindow:
         z0 = jnp.concatenate([x0, jnp.asarray([s0], dtype=x0.dtype)])
@@ -167,6 +170,47 @@ class MHTT:
             xs=sol.xs, us=sol.us, cost=sol.cost,
             violation=sol.violation, converged=sol.converged,
         )
+
+    def run_batch(
+        self,
+        x0s: jax.Array,            # (B, 13)
+        *,
+        s0s=None,                  # (B,) initial progress
+        max_windows: int = 50,
+        progress_target: float = 0.99,
+    ) -> dict:
+        """Closed-loop receding-horizon MPC over a whole scenario batch: all
+        scenarios replan in lockstep, each window one batched solve (the
+        production serving shape — thousands of simultaneous controllers).
+        Finished scenarios keep solving masked-in-place (their progress is
+        pinned at the target), so the batch stays shape-uniform.
+        """
+        B = x0s.shape[0]
+        us = jnp.zeros((B, self.N, 7), dtype=jnp.float32)
+        x = jnp.asarray(x0s, dtype=jnp.float32)
+        s = (jnp.zeros(B, dtype=jnp.float32) if s0s is None
+             else jnp.asarray(s0s, dtype=jnp.float32))
+        windows = 0
+        progress_hist = [np.asarray(s)]
+
+        while windows < max_windows and float(jnp.min(s)) < progress_target:
+            z0s = jnp.concatenate([x, s[:, None]], axis=-1)
+            sols = self._solve_batch(z0s, us)
+            c = self.commit
+            x = sols.xs[:, c, :13]
+            s = jnp.maximum(s, sols.xs[:, c, 13])
+            us = jnp.concatenate(
+                [sols.us[:, c:], jnp.tile(sols.us[:, -1:], (1, c, 1))], axis=1
+            )
+            windows += 1
+            progress_hist.append(np.asarray(s))
+
+        return {
+            "progress": np.asarray(s),
+            "windows": windows,
+            "success_rate": float(np.mean(np.asarray(s) >= progress_target)),
+            "progress_history": np.stack(progress_hist),
+        }
 
     def run(
         self,

@@ -136,7 +136,9 @@ def build_waypoint_ocp(
             fx = f(x)
             _, Jf = jax.jvp(f, (x,), (fx,))
             _, JJf = jax.jvp(f, (x,), (Jf,))
-            err = adaptive_alpha * dt_k * dt_k * jnp.dot(Jf, JJf)
+            # |·| because J is not PSD — the reference's raw inner product
+            # can go negative, which would make the bound vacuous
+            err = adaptive_alpha * dt_k * dt_k * jnp.abs(jnp.dot(Jf, JJf))
             parts.append(jnp.atleast_1d(err - adaptive_tol))
         return jnp.concatenate(parts, axis=-1)
 
@@ -144,12 +146,18 @@ def build_waypoint_ocp(
         # every waypoint consumed: λ(T) = 0 (reference boundary condition)
         return z[..., 13 : 13 + n_wp]
 
+    # feedback only on the physical control surfaces: state feedback on the
+    # μ impulses or the per-knot timestep turns small rollout deviations
+    # into trajectory-wide time warps that diverge every line-search
+    # candidate (observed: all-inf forward passes in free-time modes)
+    mask = [1] * 7 + [0] * n_wp + ([0] if progress_time else [])
     return OCPFunctions(
         step=step,
         stage_cost=stage_cost,
         terminal_cost=terminal_cost,
         ineq=ineq,
         terminal_eq=terminal_eq,
+        feedback_mask=tuple(mask),
     )
 
 
@@ -239,15 +247,19 @@ def solve_waypoint_racing(
     dt: float = 0.02,
     substeps: int = 1,
     time_mode: str = "fixed",
+    dt_bounds: Optional[tuple] = None,
     solver_config: Optional[SolverConfig] = None,
     warm_start: bool = True,
 ) -> ilqr.ILQRSolution:
     """End-to-end waypoint traversal solve (the reference's `WaypointControl`
     flow): Dubins-guided tracking warm start, then the complementarity OCP.
     """
+    if dt_bounds is None:
+        # keep the nominal dt strictly interior to the free-time box
+        dt_bounds = (dt / 10.0, dt * 4.0)
     ocp = build_waypoint_ocp(
         params, config, dt=dt, num_nodes=num_nodes, substeps=substeps,
-        time_mode=time_mode,
+        time_mode=time_mode, dt_bounds=dt_bounds,
     )
     z0, vs = initial_guess(config, num_nodes, time_mode=time_mode, dt=dt)
 

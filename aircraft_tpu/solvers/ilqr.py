@@ -177,6 +177,9 @@ def _forward_pass(ocp: OCPFunctions, al: ALState, xs_ref, us_ref, K, k, alphas):
     N = us_ref.shape[0]
     ks_idx = jnp.arange(N)
 
+    if ocp.feedback_mask is not None:
+        K = K * jnp.asarray(ocp.feedback_mask, K.dtype)[None, :, None]
+
     def rollout(alpha):
         def body(carry, inp):
             x, bad = carry
@@ -250,7 +253,16 @@ def solve(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
             B = jax.jacfwd(lambda uu: ocp.step(x, uu, idx))(u)
             return A, B
 
-        return jax.vmap(jac)(xs[:-1], us, ks_idx)
+        A, B = jax.vmap(jac)(xs[:-1], us, ks_idx)
+        # knots whose (frozen) linearisation point sits outside the model's
+        # numeric range produce non-finite or astronomically large
+        # sensitivities; sanitising AND clamping keeps the backward sweep in
+        # float32 range so the rest of the horizon still improves
+        lim = 1e6
+        clean = lambda t: jnp.clip(
+            jnp.nan_to_num(t, nan=0.0, posinf=0.0, neginf=0.0), -lim, lim
+        )
+        return clean(A), clean(B)
 
     def inner_iteration(carry, _):
         xs, us, al, reg, done, n_iters, grad_norm = carry
@@ -259,9 +271,17 @@ def solve(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
         A, B = linearize(xs, us)
         quad = _quadraticize_gn if config.hessian == "gauss_newton" else _quadraticize
         lx, lu, lxx, luu, lux, vx, vxx = quad(ocp, al, xs, us)
+        san = lambda t: jnp.clip(
+            jnp.nan_to_num(t, nan=0.0, posinf=0.0, neginf=0.0), -1e8, 1e8
+        )
+        lx, lu, lxx, luu, lux, vx, vxx = (
+            san(lx), san(lu), san(lxx), san(luu), san(lux), san(vx), san(vxx)
+        )
         K, kff, dv1, dv2, qu_max, fail = _backward_pass(
             A, B, lx, lu, lxx, luu, lux, vx, vxx, reg, config.riccati
         )
+        K = jnp.clip(K, -config.gain_clip, config.gain_clip)
+        kff = jnp.clip(kff, -config.gain_clip, config.gain_clip)
 
         xs_new, us_new, cost_new, alpha = _forward_pass(ocp, al, xs, us, K, kff, alphas)
 

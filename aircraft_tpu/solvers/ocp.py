@@ -43,6 +43,11 @@ class OCPFunctions:
     eq: Callable = struct.field(pytree_node=False, default=_zero_vec)
     terminal_ineq: Callable = struct.field(pytree_node=False, default=_zero_vec_term)
     terminal_eq: Callable = struct.field(pytree_node=False, default=_zero_vec_term)
+    # per-channel feedback mask (tuple of 0/1, len = control dim) — channels
+    # with 0 receive feedforward only in the line-search rollouts. Use for
+    # "meta" controls (per-knot timesteps, waypoint passage impulses) where
+    # state feedback destabilises the candidate rollouts.
+    feedback_mask: tuple = struct.field(pytree_node=False, default=None)
 
 
 @struct.dataclass

@@ -26,10 +26,25 @@ import jax.numpy as jnp
 
 
 def _chol_solve(M, rhs, reg):
+    """Positive-definite solve: plain Cholesky with the iteration's
+    regulariser first; if that fails (exact AL curvature of complementarity
+    terms can be indefinite), retry with a Gershgorin shift — enough that
+    every disc is positive, PD-guaranteed without an eigendecomposition.
+    The fallback keeps the sweep productive instead of flagging the whole
+    iteration; Gershgorin is NOT applied to healthy knots (it is
+    conservative and would over-damp the Newton step)."""
     m = M.shape[-1]
-    L = jnp.linalg.cholesky(0.5 * (M + jnp.swapaxes(M, -1, -2)) + reg * jnp.eye(m, dtype=M.dtype))
+    eye = jnp.eye(m, dtype=M.dtype)
+    M = 0.5 * (M + jnp.swapaxes(M, -1, -2))
+    L0 = jnp.linalg.cholesky(M + reg * eye)
+    bad0 = jnp.any(jnp.isnan(L0))
+    diag = jnp.diagonal(M, axis1=-2, axis2=-1)
+    off = jnp.sum(jnp.abs(M), axis=-1) - jnp.abs(diag)
+    gersh = jnp.maximum(0.0, -jnp.min(diag - off, axis=-1) + 1e-6)
+    L1 = jnp.linalg.cholesky(M + (reg + gersh)[..., None, None] * eye)
+    L = jnp.where(bad0, L1, L0)
     bad = jnp.any(jnp.isnan(L))
-    L = jnp.where(bad, jnp.eye(m, dtype=M.dtype), L)
+    L = jnp.where(bad, eye, L)
     return jax.scipy.linalg.cho_solve((L, True), rhs), bad
 
 
@@ -50,6 +65,12 @@ def backward_sequential(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg):
         Vx_new = Qx + K_k.T @ Quu @ k_k + K_k.T @ Qu + Qux.T @ k_k
         Vxx_new = Qxx + K_k.T @ Quu @ K_k + K_k.T @ Qux + Qux.T @ K_k
         Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
+        # value-function clamp: diverged linearisation points (frozen knots
+        # with ~1e6 sensitivities) would otherwise amplify Vxx past float32
+        # range within a few knots and NaN the whole sweep
+        lim = 1e14  # far above legitimate AL curvature (~1e8), far below f32 overflow
+        Vx_new = jnp.clip(jnp.nan_to_num(Vx_new, nan=0.0, posinf=lim, neginf=-lim), -lim, lim)
+        Vxx_new = jnp.clip(jnp.nan_to_num(Vxx_new, nan=0.0, posinf=lim, neginf=-lim), -lim, lim)
         dv1 = k_k @ Qu
         dv2 = 0.5 * k_k @ Quu @ k_k
         return (Vx_new, Vxx_new, fail | bad), (K_k, k_k, dv1, dv2, jnp.max(jnp.abs(Qu)))
