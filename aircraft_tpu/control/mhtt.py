@@ -65,8 +65,16 @@ def build_mhtt_ocp(
     dt: float,
     substeps: int = 1,
     progress_correction: float = 0.05,
+    wind_channels: bool = False,
 ) -> OCPFunctions:
-    """OCP over the augmented state z = [x(13), s]."""
+    """OCP over the augmented state z = [x(13), s] (+ wind(3) when
+    `wind_channels` — the MHE estimate rides constant state channels, so
+    the controller adapts to re-estimated wind without any retrace)."""
+    from aircraft_tpu.dynamics import aircraft as _ac
+
+    if wind_channels:
+        def _deriv(x, u, w):
+            return _ac.state_derivative(params, x, u, wind=w)
     step13 = integrators.make_step_fn(params, substeps=substeps, normalize="step")
     L = float(track_length)
     env = envelope_ineq(params, config.state, config.control)
@@ -85,6 +93,13 @@ def build_mhtt_ocp(
         x, s = z[..., :13], z[..., 13]
         s_dot, corr, _ = progress_rate(z)
         s_next = jnp.clip(s + s_dot * dt + progress_correction * corr, 0.0, 1.0)
+        if wind_channels:
+            w = z[..., 14:17]
+            x_next = integrators.step(
+                params, x, u, dt, substeps=substeps, normalize="step",
+                derivative_fn=lambda xx, uu: _deriv(xx, uu, w),
+            )
+            return jnp.concatenate([x_next, s_next[..., None], w], axis=-1)
         return jnp.concatenate([step13(x, u, dt), s_next[..., None]], axis=-1)
 
     def stage_cost(z, u, k):

@@ -115,3 +115,27 @@ class TestPreprocess:
         y = np.zeros((3, 6), np.float32)
         xc, yc = clean(x, y)
         assert xc.shape[0] == 1
+
+
+class TestWindChannelMHTT:
+    def test_wind_channels_constant_and_affect_dynamics(self):
+        from aircraft_tpu.control.initialisation import DubinsInitialiser
+        from aircraft_tpu.control.mhtt import build_mhtt_ocp
+
+        cfg = glider_config()
+        params = AircraftParams.from_config(cfg.aircraft)
+        track = DubinsInitialiser(cfg)
+        ocp = build_mhtt_ocp(
+            params, cfg, track.track_points, track.length(), dt=0.02,
+            substeps=2, wind_channels=True,
+        )
+        x = trim_state()
+        z_calm = jnp.concatenate([x, jnp.zeros(1), jnp.zeros(3)])
+        z_windy = jnp.concatenate([x, jnp.zeros(1), jnp.asarray([5.0, 0.0, 0.0])])
+        u = jnp.zeros(7)
+        out_calm = ocp.step(z_calm, u, 0)
+        out_windy = ocp.step(z_windy, u, 0)
+        # wind channels are constant under the dynamics
+        np.testing.assert_allclose(np.asarray(out_windy[14:17]), [5.0, 0.0, 0.0])
+        # and the wind changes the physical state evolution
+        assert not np.allclose(np.asarray(out_calm[:13]), np.asarray(out_windy[:13]))
