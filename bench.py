@@ -42,7 +42,58 @@ BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 
+def bench_kernel():
+    """BENCH_MODE=kernel: fused Pallas rollout vs the XLA scan rollout on
+    the same batch — measures the VMEM-residency win on real hardware."""
+    from aircraft_tpu.kernels import make_fused_rollout
+    from aircraft_tpu.solvers import integrators
+    from aircraft_tpu.solvers.rollout import batch_rollout
+
+    cfg = glider_config()
+    coeff = MLPCoeffParams.init(jax.random.PRNGKey(0))
+    params = AircraftParams.from_config(cfg.aircraft, coeff=coeff)
+    B, N, dt, ss = int(os.environ.get("BENCH_BATCH", "1024")), 50, 0.01, 10
+
+    x0 = jnp.tile(jnp.asarray(cfg.waypoints.initial_state, dtype=jnp.float32)[None], (B, 1))
+    us = jnp.zeros((B, N, 7), dtype=jnp.float32)
+
+    interpret = jax.devices()[0].platform == "cpu"  # pallas needs interpret on CPU
+    kernel = make_fused_rollout(params, horizon=N, dt=dt, substeps=ss,
+                                interpret=interpret)
+    step = integrators.make_step_fn(params, substeps=ss, normalize="step")
+    xla = jax.jit(lambda x0, us: batch_rollout(step, x0, us, dt))
+    kern = jax.jit(kernel)
+
+    import numpy as _np
+
+    out_k = kern(x0, us); out_k.block_until_ready()
+    out_x = xla(x0, us); out_x.block_until_ready()
+    max_diff = float(jnp.max(jnp.abs(out_k - out_x[..., :13] if out_x.shape[-1] != 13 else out_k - out_x)))
+
+    def t(fn):
+        walls = []
+        for _ in range(5):
+            t0 = time.time(); r = fn(x0, us); jax.block_until_ready(r)
+            walls.append(time.time() - t0)
+        return float(_np.median(walls))
+
+    tk, tx = t(kern), t(xla)
+    print(json.dumps({
+        "metric": "fused_rollout_speedup_vs_xla",
+        "value": round(tx / tk, 3),
+        "unit": "x",
+        "vs_baseline": round(tx / tk, 3),
+        "kernel_s": round(tk, 5), "xla_s": round(tx, 5),
+        "batch": B, "horizon": N, "substeps": ss,
+        "max_diff": max_diff,
+        "device": str(jax.devices()[0]),
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "kernel":
+        bench_kernel()
+        return
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.environ["JAX_COMPILATION_CACHE_DIR"])
