@@ -42,7 +42,7 @@ def build_waypoint_ocp(
     dt: float,
     num_nodes: int,
     substeps: int = 1,
-    time_mode: str = "fixed",  # 'fixed' | 'progress' | 'variable' | 'adaptive'
+    time_mode: str = "fixed",  # 'fixed'|'progress'|'variable'|'adaptive'|'sweep'
     dt_bounds: tuple[float, float] = (1e-3, 5e-2),
     adaptive_tol: float = 1e-2,
     adaptive_alpha: float = 1e-2,
@@ -66,7 +66,11 @@ def build_waypoint_ocp(
     # free-time modes make the knot timestep a decision variable
     # (reference control/base.py:361-379):
     #   'progress': dt = 1/ν²   'variable'/'adaptive': dt = ν²
+    # 'sweep' instead rides dt on a CONSTANT state channel so a batched
+    # solve explores many time scales in one compiled program (the
+    # TPU-native answer to time optimality — see solve_time_optimal)
     progress_time = time_mode in ("progress", "variable", "adaptive")
+    sweep_time = time_mode == "sweep"
 
     def split(z, v):
         x, lam = z[..., :13], z[..., 13 : 13 + n_wp]
@@ -77,6 +81,8 @@ def build_waypoint_ocp(
         elif time_mode in ("variable", "adaptive"):
             nu = v[..., 7 + n_wp]
             dt_k = nu * nu
+        elif sweep_time:
+            dt_k = z[..., 13 + n_wp]
         else:
             dt_k = dt
         return x, lam, u, mu, dt_k
@@ -89,12 +95,15 @@ def build_waypoint_ocp(
         x, lam, u, mu, dt_k = split(z, v)
         x_next = step13(x, u, dt_k)
         lam_next = lam - mu
-        return jnp.concatenate([x_next, lam_next], axis=-1)
+        parts = [x_next, lam_next]
+        if sweep_time:
+            parts.append(z[..., 13 + n_wp : 14 + n_wp])  # dt constant channel
+        return jnp.concatenate(parts, axis=-1)
 
     def stage_cost(z, v, k):
         x, lam, u, mu, dt_k = split(z, v)
         c = w_effort * jnp.sum(u[:3] * u[:3]) + w_mu * jnp.sum(mu * mu)
-        if progress_time:
+        if progress_time or sweep_time:
             c = c + w_time * dt_k  # minimise total time
         return c
 
@@ -300,3 +309,105 @@ def solve_waypoint_racing(
 
     cfg = solver_config or SolverConfig(max_al_iters=8, max_inner_iters=25)
     return ilqr.solve(ocp, z0, vs, cfg)
+
+
+def solve_time_optimal(
+    params: AircraftParams,
+    config: TrajectoryConfig,
+    *,
+    num_nodes: int = 70,
+    dt_nominal: float = 0.1,
+    substeps: int = 1,
+    n_candidates: int = 8,
+    dt_span: tuple[float, float] = (0.6, 1.4),
+    solver_config: Optional[SolverConfig] = None,
+) -> dict:
+    """Time-optimal waypoint racing by batched time-scale sweep.
+
+    Per-knot free timesteps destabilise the line-search candidates (see the
+    feedback-mask note), so instead the horizon's uniform dt becomes a
+    TRACED parameter: the OCP is built inside the traced function and
+    `n_candidates` time scales solve simultaneously under one `vmap` — the
+    per-candidate program is bit-identical to a fixed-time solve.  The
+    shortest schedule whose waypoints still pass within tolerance wins —
+    the TPU-native shape of the reference's variable-time axis.
+
+    STATUS (round 1): experimental. The per-candidate solve is program-
+    identical to the fixed-time solve, but the warm start's trajectory
+    transits a chaotic post-stall regime, so candidates built at off-nominal
+    time scales often fail to improve within the iteration budget — the
+    same fragility the reference records for its free-time modes
+    (SURVEY §6: progress-time FAILED, variable-time 5470 s). Improving the
+    warm start (stall-free tracking) is the round-2 path.
+    """
+    # shared warm start at the nominal time scale
+    from aircraft_tpu.solvers.trim import multistart_trim
+
+    trim = multistart_trim(
+        params, jax.random.PRNGKey(0), n_starts=32,
+        target_airspeed=float(config.waypoints.default_velocity),
+    )
+    us_track = tracking_warm_start(
+        params, config, num_nodes=num_nodes, dt=dt_nominal, substeps=substeps,
+        trim_control=trim.control,
+    )
+    z0, vs0 = initial_guess(config, num_nodes, time_mode="fixed", dt=dt_nominal)
+    vs0 = vs0.at[:, :7].set(us_track)
+
+    # per-candidate μ impulse placement at the warm trajectory's closest
+    # approach (per time scale)
+    step13 = integrators.make_step_fn(params, substeps=substeps, normalize="step")
+    from aircraft_tpu.solvers.rollout import rollout as _rollout
+
+    dts = np.linspace(dt_span[0] * dt_nominal, dt_span[1] * dt_nominal,
+                      n_candidates).astype(np.float32)
+    wps_np = np.asarray(config.waypoints.array())
+    n_wp = wps_np.shape[0]
+    vss = np.tile(np.asarray(vs0)[None], (n_candidates, 1, 1))
+    for i, dt_i in enumerate(dts):
+        xs_i = np.asarray(_rollout(step13, z0[:13], vs0[:, :7], float(dt_i)))
+        vss[i, :, 7 : 7 + n_wp] = 0.0
+        prev = 0
+        for j in range(n_wp):
+            d = np.linalg.norm(xs_i[:-1, :3] - wps_np[j], axis=1)
+            d[:prev] = np.inf
+            k = int(np.argmin(d))
+            vss[i, k, 7 + j] = 1.0
+            prev = k
+
+    cfg_s = solver_config or SolverConfig(max_al_iters=6, max_inner_iters=20)
+
+    def solve_at(dt_i, vs_i):
+        # the OCP closes over the TRACED dt — per-candidate program
+        # identical to a fixed-time solve
+        ocp_i = build_waypoint_ocp(
+            params, config, dt=dt_i, num_nodes=num_nodes, substeps=substeps,
+            time_mode="fixed",
+        )
+        return ilqr.solve_impl(ocp_i, z0, vs_i, cfg_s)
+
+    sols = jax.jit(jax.vmap(solve_at))(jnp.asarray(dts), jnp.asarray(vss))
+
+    xs = np.asarray(sols.xs)
+    tol = config.waypoints.tolerance
+    dmins = np.stack(
+        [np.linalg.norm(xs[:, :, :3] - w, axis=-1).min(axis=1) for w in wps_np],
+        axis=-1,
+    )
+    feasible = (dmins < 2.5 * tol).all(axis=-1) & np.isfinite(xs).all(axis=(1, 2))
+    T = dts * num_nodes
+    best = None
+    for i in np.argsort(T):
+        if feasible[i]:
+            best = int(i)
+            break
+    if best is None:
+        best = int(np.argmin(dmins.max(axis=-1)))
+    return {
+        "solution": ilqr.ILQRSolution(*(np.asarray(t[best]) for t in sols)),
+        "dt": float(dts[best]),
+        "total_time": float(T[best]),
+        "feasible": feasible,
+        "dmins": dmins,
+        "candidate_times": T,
+    }

@@ -40,6 +40,36 @@ STATE_ROWS = 16  # 13 padded to two f32 sublane tiles
 CTRL_ROWS = 8    # 7 padded
 
 
+def _atan(z):
+    """arctan for Pallas TPU (atan/atan2 have no Mosaic lowering).
+
+    Minimax polynomial on |z| <= 1 (Abramowitz & Stegun 4.4.49, |err| ~ 2e-8)
+    with the reciprocal identity for |z| > 1 — branch-free via select.
+    """
+    inv = jnp.abs(z) > 1.0
+    zz = jnp.where(inv, 1.0 / jnp.where(jnp.abs(z) > 1e-30, z, 1e-30), z)
+    z2 = zz * zz
+    poly = (
+        0.9999993329
+        + z2 * (-0.3332985605
+        + z2 * (0.1994653599
+        + z2 * (-0.1390853351
+        + z2 * (0.0964200441
+        + z2 * (-0.0559098861
+        + z2 * (0.0218612288
+        + z2 * (-0.0040540580)))))))
+    )
+    a = zz * poly
+    return jnp.where(inv, jnp.sign(z) * (np.pi / 2.0) - a, a)
+
+
+def _asin(t):
+    """arcsin via atan(t / sqrt(1 - t²)) — valid away from |t| = 1 (the
+    sideslip angle is well inside the envelope)."""
+    t = jnp.clip(t, -0.999999, 0.999999)
+    return _atan(t * jax.lax.rsqrt(1.0 - t * t))
+
+
 def _build_constants(params: AircraftParams):
     """Extract plant constants as host floats/arrays (trace-time literals)."""
     cp: MLPCoeffParams = params.coeff
@@ -101,8 +131,10 @@ def _derivative_rows(x, u, C, W):
 
     v2 = vr0 * vr0 + vr1 * vr1 + vr2 * vr2
     airspeed = jnp.sqrt(v2 + C["eps"])
-    alpha = jnp.arctan2(vr2, vr0 + C["eps"])
-    beta = jnp.arcsin(jnp.clip(vr1 / airspeed, -1.0, 1.0))
+    # forward-flight quadrant (u_rel > 0) — valid across the alpha envelope;
+    # atan2/asin have no Pallas TPU lowering, so use the in-kernel atan
+    alpha = _atan(vr2 / (vr0 + C["eps"]))
+    beta = _asin(jnp.clip(vr1 / airspeed, -1.0, 1.0))
     qbar = 0.5 * RHO * v2
 
     # MLP coefficient model on inputs (5, B)
@@ -174,11 +206,17 @@ def _rk4_norm(x, u, dt_sub, C, W):
     k3 = _derivative_rows(x + 0.5 * dt_sub * k2, u, C, W)
     k4 = _derivative_rows(x + dt_sub * k3, u, C, W)
     x = x + (dt_sub / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
-    # renormalise the quaternion rows
+    # renormalise the quaternion rows (scatter has no Mosaic lowering —
+    # rebuild the block by row-wise scaling instead)
     q = x[6:10]
     inv_norm = jax.lax.rsqrt(jnp.sum(q * q, axis=0) + 1e-12)
-    x = x.at[6:10].multiply(inv_norm)
-    return x
+    scale = jnp.concatenate(
+        [jnp.ones((6,) + inv_norm.shape, x.dtype),
+         jnp.broadcast_to(inv_norm, (4,) + inv_norm.shape),
+         jnp.ones((6,) + inv_norm.shape, x.dtype)],
+        axis=0,
+    )
+    return x * scale
 
 
 def make_fused_rollout(

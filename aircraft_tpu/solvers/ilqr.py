@@ -41,6 +41,10 @@ from aircraft_tpu.solvers import ocp as ocp_mod
 from aircraft_tpu.solvers import riccati as riccati_mod
 from aircraft_tpu.solvers.ocp import ALState, OCPFunctions
 
+# fixed cost penalty per frozen (diverged) rollout knot — keeps divergent
+# candidates comparable instead of pricing them to +inf
+FREEZE_PENALTY = 1e7
+
 
 class ILQRSolution(NamedTuple):
     xs: jax.Array          # (N+1, n)
@@ -182,33 +186,34 @@ def _forward_pass(ocp: OCPFunctions, al: ALState, xs_ref, us_ref, K, k, alphas):
 
     def rollout(alpha):
         def body(carry, inp):
-            x, bad = carry
+            x, nfro = carry
             u_ref, x_ref, K_k, k_k, idx = inp
             u = u_ref + alpha * k_k + K_k @ (x - x_ref)
             x_next = ocp.step(x, u, idx)
-            # NaN policing (SURVEY §5.2): freeze a diverged rollout in place
-            # and flag it so its cost is forced to +inf below — it can never
-            # be accepted, but it cannot poison downstream knots either.
-            # The magnitude bound also catches finite-but-absurd states whose
-            # AL cost would overflow float32 and corrupt the accept test.
+            # NaN policing (SURVEY §5.2): freeze a diverged knot in place.
+            # Each frozen knot adds a large FIXED penalty to the candidate's
+            # cost (not inf): trajectories transiting chaotic regimes can
+            # then still be compared — a candidate that diverges LATER than
+            # the incumbent is an improvement the solver may take, which is
+            # how it retreats from divergence at all.
             finite = jnp.all(jnp.isfinite(x_next)) & (
                 jnp.max(jnp.abs(x_next)) < 1e6
             )
             x_next = jnp.where(finite, x_next, x)
-            return (x_next, bad | ~finite), (x_next, u)
+            return (x_next, nfro + (~finite)), (x_next, u)
 
-        (_, bad), (xs_new, us_new) = jax.lax.scan(
-            body, (xs_ref[0], jnp.asarray(False)), (us_ref, xs_ref[:-1], K, k, ks_idx)
+        (_, nfro), (xs_new, us_new) = jax.lax.scan(
+            body, (xs_ref[0], jnp.asarray(0)), (us_ref, xs_ref[:-1], K, k, ks_idx)
         )
         xs_new = jnp.concatenate([xs_ref[:1], xs_new], axis=0)
         cost = ocp_mod.al_total_cost(ocp, al, xs_new, us_new)
-        cost = jnp.where(bad, jnp.inf, cost)
-        return xs_new, us_new, cost
+        cost = jnp.nan_to_num(cost, nan=jnp.inf) + FREEZE_PENALTY * nfro
+        return xs_new, us_new, cost, nfro
 
-    xs_c, us_c, costs = jax.vmap(rollout)(alphas)
+    xs_c, us_c, costs, nfros = jax.vmap(rollout)(alphas)
     costs = jnp.where(jnp.isnan(costs), jnp.inf, costs)
     best = jnp.argmin(costs)
-    return xs_c[best], us_c[best], costs[best], alphas[best]
+    return xs_c[best], us_c[best], costs[best], nfros[best]
 
 
 # ---------------------------------------------------------------------------
@@ -216,11 +221,13 @@ def _forward_pass(ocp: OCPFunctions, al: ALState, xs_ref, us_ref, K, k, alphas):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def solve(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
-          config: SolverConfig = SolverConfig()) -> ILQRSolution:
-    """AL-iLQR solve for a single scenario. `jax.vmap(solve, in_axes=(None,
-    0, 0, None))` is the batched solver; see `solve_batch`."""
+def solve_impl(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
+               config: SolverConfig = SolverConfig()) -> ILQRSolution:
+    """Unjitted solver implementation. Use this inside your own jit/vmap
+    when the OCP closes over TRACED values (e.g. a per-candidate timestep
+    or parameter sweep: build the OCP inside the traced function and call
+    solve_impl directly). `solve` below is the jitted entry point for
+    OCPs whose closures are static."""
     N, m = us_init.shape
     n = x0.shape[-1]
     dtype = x0.dtype
@@ -232,19 +239,20 @@ def solve(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
     ).astype(dtype)
 
     def initial_rollout(us):
-        def body(x, inp):
+        def body(carry, inp):
+            x, nfro = carry
             u, idx = inp
             x_next = ocp.step(x, u, idx)
             # freeze divergence (incl. float32-overflow-scale magnitudes) so
             # a bad warm start still yields usable linearisation points
             ok = jnp.all(jnp.isfinite(x_next)) & (jnp.max(jnp.abs(x_next)) < 1e6)
             x_next = jnp.where(ok, x_next, x)
-            return x_next, x_next
+            return (x_next, nfro + (~ok)), x_next
 
-        _, xs_tail = jax.lax.scan(body, x0, (us, ks_idx))
-        return jnp.concatenate([x0[None], xs_tail], axis=0)
+        (_, nfro), xs_tail = jax.lax.scan(body, (x0, jnp.asarray(0)), (us, ks_idx))
+        return jnp.concatenate([x0[None], xs_tail], axis=0), nfro
 
-    xs0 = initial_rollout(us_init)
+    xs0, nfro0 = initial_rollout(us_init)
     al0 = ocp_mod.init_al_state(ocp, x0, us_init[0], N, mu0=config.penalty_init)
 
     def linearize(xs, us):
@@ -265,8 +273,10 @@ def solve(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
         return clean(A), clean(B)
 
     def inner_iteration(carry, _):
-        xs, us, al, reg, done, n_iters, grad_norm = carry
-        cost_prev = ocp_mod.al_total_cost(ocp, al, xs, us)
+        xs, us, nfro, al, reg, done, n_iters, grad_norm = carry
+        cost_prev = (
+            ocp_mod.al_total_cost(ocp, al, xs, us) + FREEZE_PENALTY * nfro
+        )
 
         A, B = linearize(xs, us)
         quad = _quadraticize_gn if config.hessian == "gauss_newton" else _quadraticize
@@ -283,7 +293,7 @@ def solve(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
         K = jnp.clip(K, -config.gain_clip, config.gain_clip)
         kff = jnp.clip(kff, -config.gain_clip, config.gain_clip)
 
-        xs_new, us_new, cost_new, alpha = _forward_pass(ocp, al, xs, us, K, kff, alphas)
+        xs_new, us_new, cost_new, nfro_new = _forward_pass(ocp, al, xs, us, K, kff, alphas)
 
         expected = -(dv1 + dv2)
         improved = (cost_new < cost_prev - 1e-12) & ~fail
@@ -298,6 +308,7 @@ def solve(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
         accept = improved & ~done
         xs = jnp.where(accept, xs_new, xs)
         us = jnp.where(accept, us_new, us)
+        nfro = jnp.where(accept, nfro_new, nfro)
 
         # stationarity: max |Qu| over the horizon
         converged_now = (qu_max < config.tol) | (
@@ -305,22 +316,22 @@ def solve(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
         )
         done = done | (converged_now & ~fail)
         n_iters = n_iters + jnp.where(done, 0, 1)
-        return (xs, us, al, reg_new, done, n_iters, qu_max), None
+        return (xs, us, nfro, al, reg_new, done, n_iters, qu_max), None
 
     def al_iteration(carry, _):
-        xs, us, al, n_iters_total, grad_norm = carry
-        inner0 = (xs, us, al, jnp.asarray(config.reg_init, dtype), jnp.asarray(False),
-                  jnp.asarray(0), jnp.asarray(jnp.inf, dtype))
-        (xs, us, al, _, _, n_inner, grad_norm), _ = jax.lax.scan(
+        xs, us, nfro, al, n_iters_total, grad_norm = carry
+        inner0 = (xs, us, nfro, al, jnp.asarray(config.reg_init, dtype),
+                  jnp.asarray(False), jnp.asarray(0), jnp.asarray(jnp.inf, dtype))
+        (xs, us, nfro, al, _, _, n_inner, grad_norm), _ = jax.lax.scan(
             inner_iteration, inner0, None, length=config.max_inner_iters
         )
         al = ocp_mod.update_multipliers(
             ocp, al, xs, us, config.penalty_scale, config.penalty_max
         )
-        return (xs, us, al, n_iters_total + n_inner, grad_norm), None
+        return (xs, us, nfro, al, n_iters_total + n_inner, grad_norm), None
 
-    carry0 = (xs0, us_init, al0, jnp.asarray(0), jnp.asarray(jnp.inf, dtype))
-    (xs, us, al, n_iters, grad_norm), _ = jax.lax.scan(
+    carry0 = (xs0, us_init, nfro0, al0, jnp.asarray(0), jnp.asarray(jnp.inf, dtype))
+    (xs, us, nfro, al, n_iters, grad_norm), _ = jax.lax.scan(
         al_iteration, carry0, None, length=config.max_al_iters
     )
 
@@ -331,6 +342,9 @@ def solve(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
         xs=xs, us=us, cost=cost, violation=viol, converged=converged,
         iterations=n_iters, grad_norm=grad_norm,
     )
+
+
+solve = partial(jax.jit, static_argnums=(0, 3))(solve_impl)
 
 
 def solve_batch(ocp: OCPFunctions, x0s: jax.Array, us_inits: jax.Array,
