@@ -108,12 +108,22 @@ class DubinsInitialiser:
         )
         psi = np.concatenate([seg_psi[:1], seg_psi])
         gamma = np.concatenate([seg_gamma[:1], seg_gamma])
-        # interior waypoints: average incoming/outgoing direction
+        # interior waypoints: average in/out directions for gentle turns, but
+        # keep the OUTGOING direction at reversals (>90° course change) — a
+        # there-and-back course should fly THROUGH the waypoint and turn
+        # around inside the next segment, not arrive sideways
         for i in range(1, len(wps) - 1):
-            psi[i] = np.arctan2(
-                np.sin(seg_psi[i - 1]) + np.sin(seg_psi[i]),
-                np.cos(seg_psi[i - 1]) + np.cos(seg_psi[i]),
+            turn = np.arctan2(
+                np.sin(seg_psi[i] - seg_psi[i - 1]),
+                np.cos(seg_psi[i] - seg_psi[i - 1]),
             )
+            if abs(turn) > np.pi / 2:
+                psi[i] = seg_psi[i]
+            else:
+                psi[i] = np.arctan2(
+                    np.sin(seg_psi[i - 1]) + np.sin(seg_psi[i]),
+                    np.cos(seg_psi[i - 1]) + np.cos(seg_psi[i]),
+                )
             gamma[i] = 0.5 * (seg_gamma[i - 1] + seg_gamma[i])
 
         # initial heading from the initial velocity if it is nonzero

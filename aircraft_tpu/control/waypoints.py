@@ -248,6 +248,50 @@ def tracking_warm_start(
     return sol.us
 
 
+def receding_warm_start(
+    params: AircraftParams,
+    config: TrajectoryConfig,
+    *,
+    num_nodes: int,
+    dt: float,
+    substeps: int = 1,
+    window: int = 30,
+    overlap: int = 20,
+    solver_config: Optional[SolverConfig] = None,
+) -> jax.Array:
+    """Closed-loop MHTT flight along the Dubins track as the warm start for
+    LONG horizons.  A single whole-horizon tracking solve cannot stabilise
+    an open-loop-unstable plant over hundreds of knots (the replayed
+    controls diverge — verified: NaN after ~65 of 700 knots); the
+    receding-horizon controller replans every `window-overlap` knots, so its
+    committed control sequence tracks robustly over arbitrary lengths.
+
+    Returns (num_nodes, 7) controls (trimmed/held to length).
+    """
+    from aircraft_tpu.control.initialisation import DubinsInitialiser
+    from aircraft_tpu.control.mhtt import MHTT
+
+    track = DubinsInitialiser(config)
+    mhtt = MHTT(
+        params, config, track, num_nodes=window, dt=dt, overlap=overlap,
+        substeps=substeps,
+        solver_config=solver_config
+        or SolverConfig(max_al_iters=2, max_inner_iters=10, hessian="gauss_newton"),
+    )
+    x0 = jnp.asarray(config.waypoints.initial_state, dtype=jnp.float32)
+    max_windows = num_nodes // max(window - overlap, 1) + 2
+    out = mhtt.run(x0, max_windows=max_windows, progress_target=0.995)
+    us = np.asarray(out["controls"], dtype=np.float32)
+    if us.shape[0] >= num_nodes:
+        us = us[:num_nodes]
+    elif us.shape[0] > 0:
+        pad = np.tile(us[-1:], (num_nodes - us.shape[0], 1))
+        us = np.concatenate([us, pad], axis=0)
+    else:
+        us = np.zeros((num_nodes, 7), np.float32)
+    return jnp.asarray(us)
+
+
 def solve_waypoint_racing(
     params: AircraftParams,
     config: TrajectoryConfig,
@@ -259,6 +303,7 @@ def solve_waypoint_racing(
     dt_bounds: Optional[tuple] = None,
     solver_config: Optional[SolverConfig] = None,
     warm_start: bool = True,
+    warm_start_mode: str = "tracking",   # 'tracking' | 'receding'
 ) -> ilqr.ILQRSolution:
     """End-to-end waypoint traversal solve (the reference's `WaypointControl`
     flow): Dubins-guided tracking warm start, then the complementarity OCP.
@@ -282,10 +327,15 @@ def solve_waypoint_racing(
             n_starts=32,
             target_airspeed=float(config.waypoints.default_velocity),
         )
-        us_track = tracking_warm_start(
-            params, config, num_nodes=num_nodes, dt=dt, substeps=substeps,
-            trim_control=trim.control,
-        )
+        if warm_start_mode == "receding":
+            us_track = receding_warm_start(
+                params, config, num_nodes=num_nodes, dt=dt, substeps=substeps,
+            )
+        else:
+            us_track = tracking_warm_start(
+                params, config, num_nodes=num_nodes, dt=dt, substeps=substeps,
+                trim_control=trim.control,
+            )
         vs = vs.at[:, :7].set(us_track)
         # re-place the μ passage impulses at the tracked trajectory's
         # closest-approach nodes (reference switching-node heuristic)
