@@ -461,3 +461,79 @@ def solve_time_optimal(
         "dmins": dmins,
         "candidate_times": T,
     }
+
+
+def solve_waypoint_legs(
+    params: AircraftParams,
+    config: TrajectoryConfig,
+    *,
+    nodes_per_leg: int = 90,
+    dt: float = 0.1,
+    substeps: int = 10,
+    solver_config: Optional[SolverConfig] = None,
+) -> dict:
+    """Sequential leg-by-leg waypoint traversal: solve a short-horizon
+    1-waypoint racing problem to each waypoint in turn, starting every leg
+    from the previous leg's closest-approach state.
+
+    This is the shape of the reference's flagship outer loop
+    (main/control/control.py:158-217: five sequential goal-alternating
+    solves) — long courses become a chain of well-conditioned short solves
+    instead of one fragile 700-knot horizon.
+    """
+    import dataclasses
+
+    cfg_s = solver_config or SolverConfig(max_al_iters=6, max_inner_iters=20)
+    wps = np.asarray(config.waypoints.array())
+    state = np.asarray(config.waypoints.initial_state, np.float32)
+    all_states, all_controls, dmins = [state[None, :]], [], []
+
+    for j, wpt in enumerate(wps):
+        leg_dict = {
+            "waypoints": {
+                "waypoints": [wpt.tolist()],
+                "initial_state": state.tolist(),
+                "default_velocity": config.waypoints.default_velocity,
+                "waypoint_indices": list(config.waypoints.waypoint_indices),
+                "waypoint_tolerance": config.waypoints.tolerance,
+            },
+            "aircraft": dataclasses.asdict(config.aircraft)
+            if dataclasses.is_dataclass(config.aircraft)
+            else config.aircraft.__dict__,
+            "state": {
+                "alpha": list(config.state.alpha),
+                "beta": list(config.state.beta),
+                "airspeed": list(config.state.airspeed),
+            },
+            "control": {
+                "aileron_limit": list(config.control.aileron),
+                "elevator_limit": list(config.control.elevator),
+                "rudder_limit": list(config.control.rudder),
+                "throttle_limit": [list(config.control.throttle[0]),
+                                   list(config.control.throttle[1])],
+                "centre_of_mass_limit": [list(config.control.centre_of_mass[0]),
+                                         list(config.control.centre_of_mass[1])],
+            },
+        }
+        leg_cfg = TrajectoryConfig.from_dict(leg_dict)
+        sol = solve_waypoint_racing(
+            params, leg_cfg, num_nodes=nodes_per_leg, dt=dt, substeps=substeps,
+            solver_config=cfg_s,
+        )
+        xs = np.asarray(sol.xs)
+        d = np.linalg.norm(xs[:, :3] - wpt, axis=1)
+        k = int(np.argmin(d))
+        dmins.append(float(d[k]))
+        # commit up to (and including) the closest-approach knot, then start
+        # the next leg from there
+        all_states.append(xs[1 : k + 1, :13])
+        all_controls.append(np.asarray(sol.us)[:k, :7])
+        state = xs[k, :13].astype(np.float32)
+
+    return {
+        "states": np.concatenate(all_states, axis=0),
+        "controls": np.concatenate(all_controls, axis=0)
+        if all_controls else np.zeros((0, 7), np.float32),
+        "dmins": dmins,
+        "success": all(d < 2.5 * config.waypoints.tolerance for d in dmins),
+    }

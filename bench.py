@@ -122,7 +122,12 @@ def main():
     track = DubinsInitialiser(cfg)
     ocp = build_mhtt_ocp(params, cfg, track.track_points, track.length(), dt=DT)
 
-    solver_cfg = SolverConfig(max_al_iters=2, max_inner_iters=8, hessian="gauss_newton")
+    solver_cfg = SolverConfig(
+        max_al_iters=int(os.environ.get("BENCH_AL", "2")),
+        max_inner_iters=int(os.environ.get("BENCH_INNER", "8")),
+        line_search_steps=int(os.environ.get("BENCH_LS", "12")),
+        hessian="gauss_newton",
+    )
 
     x0 = jnp.concatenate(
         [jnp.asarray(cfg.waypoints.initial_state, dtype=jnp.float32),
@@ -155,6 +160,7 @@ def main():
 
     solves_per_s = BATCH / wall
     n_finite = int(np.isfinite(np.asarray(sols.cost)).sum())
+    mean_viol = float(np.nanmean(np.asarray(sols.violation)))
 
     print(
         json.dumps(
@@ -168,6 +174,7 @@ def main():
                 "latency_s_per_window": round(wall, 4),
                 "compile_s": round(compile_wall, 1),
                 "finite_fraction": round(n_finite / BATCH, 3),
+                "mean_violation": round(mean_viol, 4),
                 "device": str(jax.devices()[0]),
             }
         )
