@@ -266,6 +266,54 @@ class MLPCoeffParams:
         )
 
 
+@struct.dataclass
+class MiniMLPCoeffParams:
+    """MiniModel: standardise -> Linear(5,16) -> ELU -> Linear(16,32) -> ELU
+    -> Linear(32,6) -> de-standardise (reference surrogates/models.py:56-99,
+    the ELU alternative to ScaledModel)."""
+
+    w0: jax.Array
+    b0: jax.Array
+    w1: jax.Array
+    b1: jax.Array
+    w2: jax.Array
+    b2: jax.Array
+    input_mean: jax.Array
+    input_std: jax.Array
+    output_mean: jax.Array
+    output_std: jax.Array
+    Cn_rudder: float = -0.1
+
+    @classmethod
+    def init(cls, key: jax.Array, scale: float = 0.5) -> "MiniMLPCoeffParams":
+        k0, k1, k2 = jax.random.split(key, 3)
+
+        def lin(k, fan_in, fan_out):
+            bound = scale / np.sqrt(fan_in)
+            return jax.random.uniform(k, (fan_in, fan_out), minval=-bound, maxval=bound)
+
+        return cls(
+            w0=lin(k0, 5, 16), b0=jnp.zeros(16),
+            w1=lin(k1, 16, 32), b1=jnp.zeros(32),
+            w2=lin(k2, 32, 6), b2=jnp.zeros(6),
+            input_mean=jnp.zeros(5), input_std=jnp.ones(5),
+            output_mean=jnp.zeros(6), output_std=jnp.ones(6),
+        )
+
+
+def mini_mlp_forward(cp: MiniMLPCoeffParams, x: jax.Array) -> jax.Array:
+    h = (x - cp.input_mean) / cp.input_std
+    h = jax.nn.elu(h @ cp.w0 + cp.b0)
+    h = jax.nn.elu(h @ cp.w1 + cp.b1)
+    h = h @ cp.w2 + cp.b2
+    return h * cp.output_std + cp.output_mean
+
+
+def _apply_mini_mlp(cp: MiniMLPCoeffParams, aero: AeroState, aileron, elevator, rudder):
+    out = mini_mlp_forward(cp, model_inputs(aero, aileron, elevator))
+    return out.at[..., 5].add(cp.Cn_rudder * 6.0 * rudder * DEG2RAD)
+
+
 def mlp_forward(cp: MLPCoeffParams, x: jax.Array) -> jax.Array:
     """Raw ScaledModel forward on (..., 5) inputs."""
     h = (x - cp.input_mean) / cp.input_std
@@ -295,6 +343,7 @@ apply_coefficients.register(DefaultCoeffParams, _apply_default)
 apply_coefficients.register(LinearCoeffParams, _apply_linear)
 apply_coefficients.register(PolyCoeffParams, _apply_poly)
 apply_coefficients.register(MLPCoeffParams, _apply_mlp)
+apply_coefficients.register(MiniMLPCoeffParams, _apply_mini_mlp)
 
 
 COEFF_MODEL_REGISTRY = {
@@ -302,6 +351,7 @@ COEFF_MODEL_REGISTRY = {
     "linear": LinearCoeffParams,
     "poly": PolyCoeffParams,
     "nn": MLPCoeffParams,
+    "nn_mini": MiniMLPCoeffParams,
 }
 
 

@@ -1,3 +1,4 @@
 from aircraft_tpu.kernels.rollout_kernel import make_fused_rollout
+from aircraft_tpu.kernels.cholesky_kernel import make_batched_cholesky_solve
 
-__all__ = ["make_fused_rollout"]
+__all__ = ["make_fused_rollout", "make_batched_cholesky_solve"]

@@ -64,3 +64,33 @@ class TestFusedRollout:
         np.testing.assert_allclose(
             np.asarray(xs[0]), np.asarray(xs[200]), atol=1e-6
         )
+
+
+class TestBatchedCholesky:
+    def test_matches_jax_cho_solve(self):
+        from aircraft_tpu.kernels import make_batched_cholesky_solve
+
+        rng = np.random.default_rng(4)
+        B, m, k = 256, 8, 9
+        W = rng.normal(0, 1, (B, m, m)).astype(np.float32)
+        A = np.einsum("bij,bkj->bik", W, W) / m + 2.0 * np.eye(m)[None]
+        rhs = rng.normal(0, 1, (B, m, k)).astype(np.float32)
+
+        solve = make_batched_cholesky_solve(m, k, interpret=True)
+        X = np.asarray(solve(jnp.asarray(A.astype(np.float32)), jnp.asarray(rhs)))
+
+        expected = np.stack([np.linalg.solve(A[b], rhs[b]) for b in range(B)])
+        np.testing.assert_allclose(X, expected, rtol=2e-3, atol=2e-3)
+
+    def test_residual_small(self):
+        from aircraft_tpu.kernels import make_batched_cholesky_solve
+
+        rng = np.random.default_rng(5)
+        B, m, k = 128, 10, 1
+        W = rng.normal(0, 1, (B, m, m)).astype(np.float32)
+        A = (np.einsum("bij,bkj->bik", W, W) / m + np.eye(m)[None]).astype(np.float32)
+        rhs = rng.normal(0, 1, (B, m, k)).astype(np.float32)
+        solve = make_batched_cholesky_solve(m, k, interpret=True)
+        X = np.asarray(solve(jnp.asarray(A), jnp.asarray(rhs)))
+        res = np.einsum("bij,bjk->bik", A, X) - rhs
+        assert np.abs(res).max() < 1e-2
