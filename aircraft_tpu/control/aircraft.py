@@ -135,9 +135,20 @@ def build_aircraft_ocp(
             g = jnp.concatenate([g, extra_ineq(x, u, k)])
         return g
 
-    if quaternion in ("constraint", "baumgarte"):
+    if quaternion == "constraint":
         def eq(x, u, k):
             return jnp.atleast_1d(jnp.sum(x[6:10] ** 2) - 1.0)
+    elif quaternion == "baumgarte":
+        # Baumgarte-stabilised norm constraint 2αφ̇ + β²φ = 0 with
+        # φ = |q|² − 1, φ̇ = 2 qᵀq̇ (reference control/base.py:291-304,
+        # α = β = 2)
+        alpha_b, beta_b = 2.0, 2.0
+
+        def eq(x, u, k):
+            xdot = ac.state_derivative(params, x, u, wind)
+            phi = jnp.sum(x[6:10] ** 2) - 1.0
+            phi_dot = 2.0 * jnp.dot(x[6:10], xdot[6:10])
+            return jnp.atleast_1d(2.0 * alpha_b * phi_dot + beta_b**2 * phi)
     else:
         def eq(x, u, k):
             return jnp.zeros((0,), dtype=x.dtype)

@@ -90,9 +90,58 @@ def bench_kernel():
     }))
 
 
+def bench_chol():
+    """BENCH_MODE=chol: batched tiny-Cholesky Pallas kernel vs XLA
+    cho_solve on the Riccati gain shapes."""
+    from aircraft_tpu.kernels import make_batched_cholesky_solve
+
+    B = int(os.environ.get("BENCH_BATCH", str(256 * 50)))
+    B = (B // 128) * 128
+    m, k = 7, 8  # Quu size and [Qu | Qux] rhs width of the N=50 solve
+    rng = np.random.default_rng(0)
+    W = rng.normal(0, 1, (B, m, m)).astype(np.float32)
+    A = (np.einsum("bij,bkj->bik", W, W) / m + 2.0 * np.eye(m)[None]).astype(np.float32)
+    rhs = rng.normal(0, 1, (B, m, k)).astype(np.float32)
+    A_j, rhs_j = jnp.asarray(A), jnp.asarray(rhs)
+
+    interpret = jax.devices()[0].platform == "cpu"
+    kern = jax.jit(make_batched_cholesky_solve(m, k, interpret=interpret))
+
+    def xla_solve(A, rhs):
+        L = jnp.linalg.cholesky(A)
+        return jax.scipy.linalg.cho_solve((L, True), rhs)
+
+    xla = jax.jit(xla_solve)
+
+    xk = kern(A_j, rhs_j); xk.block_until_ready()
+    xx = xla(A_j, rhs_j); xx.block_until_ready()
+    max_diff = float(jnp.max(jnp.abs(xk - xx)))
+
+    def t(fn):
+        walls = []
+        for _ in range(7):
+            t0 = time.time(); r = fn(A_j, rhs_j); jax.block_until_ready(r)
+            walls.append(time.time() - t0)
+        return float(np.median(walls))
+
+    tk, tx = t(kern), t(xla)
+    print(json.dumps({
+        "metric": "batched_tiny_cholesky_speedup_vs_xla",
+        "value": round(tx / tk, 3),
+        "unit": "x",
+        "vs_baseline": round(tx / tk, 3),
+        "kernel_s": round(tk, 6), "xla_s": round(tx, 6),
+        "batch": B, "m": m, "k": k, "max_diff": max_diff,
+        "device": str(jax.devices()[0]),
+    }))
+
+
 def main():
     if os.environ.get("BENCH_MODE") == "kernel":
         bench_kernel()
+        return
+    if os.environ.get("BENCH_MODE") == "chol":
+        bench_chol()
         return
     try:
         jax.config.update("jax_compilation_cache_dir",
