@@ -120,3 +120,35 @@ class TestFreeTimeModes:
         z0, vs = wp.initial_guess(CFG, 10, time_mode="adaptive", dt=0.05)
         g = np.asarray(ocp.ineq(z0, vs[0], 0))
         assert g[-1] > 0.0  # error surrogate exceeds the tight tol
+
+
+class TestReferenceConfigParity:
+    def test_reference_json_loads_with_expected_fields(self):
+        """Schema lock: the reference problem file must keep loading with
+        the documented values (reference data/glider/problem_definition.json)."""
+        import pathlib
+
+        ref = pathlib.Path("/root/reference/data/glider/problem_definition.json")
+        if not ref.exists():
+            pytest.skip("reference problem file not present")
+        from aircraft_tpu.config import TrajectoryConfig
+
+        cfg = TrajectoryConfig.from_json(ref)
+        assert cfg.aircraft.mass == 4.0
+        assert cfg.aircraft.span == 2.0
+        assert cfg.aircraft.reference_area == 0.238
+        assert cfg.aircraft.Ixz == 0.01
+        np.testing.assert_allclose(
+            cfg.waypoints.initial_state,
+            [0, 0, -200, 50, 0, 0, 0, 0, 0, 1, 0, 0, 0],
+        )
+        assert cfg.waypoints.default_velocity == 30
+        assert cfg.waypoints.tolerance == 10.0
+        assert len(cfg.waypoints.waypoints) == 4
+        # 2-index objective triggers the glide-slope altitude backfill
+        assert cfg.waypoints.waypoint_indices == (0, 1)
+        wps = cfg.waypoints.array()
+        assert np.all(np.diff(wps[:, 2]) > 0)  # z monotonically down-slope
+        lb, ub = cfg.control.bounds(7)
+        np.testing.assert_allclose(lb[:3], [-10, -10, -10])
+        np.testing.assert_allclose(ub[:3], [10, 10, 10])
