@@ -127,6 +127,58 @@ class OUNoise:
         return self.state
 
 
+class ParameterSpaceNoise:
+    """Adaptive parameter-space exploration (reference rl.py:51-75): perturb
+    the actor's weights with Gaussian noise whose stddev adapts so the
+    induced ACTION-space distance tracks a target."""
+
+    def __init__(self, initial_std=0.1, target_action_std=0.2, adapt=1.01,
+                 rng=None):
+        self.std = initial_std
+        self.target = target_action_std
+        self.adapt = adapt
+        self.rng = rng or np.random.default_rng(0)
+
+    def perturb(self, params: "MLPParams") -> "MLPParams":
+        layers = tuple(
+            (
+                w + jnp.asarray(self.rng.normal(0.0, self.std, w.shape),
+                                dtype=w.dtype),
+                b + jnp.asarray(self.rng.normal(0.0, self.std, b.shape),
+                                dtype=b.dtype),
+            )
+            for w, b in params.layers
+        )
+        return MLPParams(layers=layers)
+
+    def update(self, action_distance: float) -> None:
+        """Grow noise when the perturbed policy moved less than the target
+        action distance, shrink when it moved more."""
+        if action_distance < self.target:
+            self.std *= self.adapt
+        else:
+            self.std /= self.adapt
+
+
+class EpsilonGreedy:
+    """ε-greedy gate over a continuous policy (reference rl.py:78-99):
+    with probability ε replace the policy action by a uniform random one;
+    ε decays geometrically per sample."""
+
+    def __init__(self, eps=1.0, eps_min=0.05, decay=0.995, rng=None):
+        self.eps = eps
+        self.eps_min = eps_min
+        self.decay = decay
+        self.rng = rng or np.random.default_rng(0)
+
+    def select(self, action: np.ndarray, low: float, high: float) -> np.ndarray:
+        explore = self.rng.random() < self.eps
+        self.eps = max(self.eps_min, self.eps * self.decay)
+        if explore:
+            return self.rng.uniform(low, high, np.shape(action))
+        return np.asarray(action)
+
+
 class DDPGAgent:
     """Actor-critic with soft target updates (reference rl.py:221-351)."""
 

@@ -105,6 +105,23 @@ def weighted_mse(pred: jax.Array, target: jax.Array, weights: jax.Array) -> jax.
     return jnp.mean(weights * (pred - target) ** 2)
 
 
+def weighted_mse_constraint(
+    pred: jax.Array,
+    target: jax.Array,
+    weights: jax.Array,
+    zero_pred: jax.Array,
+    zero_weight: float = 1.0,
+) -> jax.Array:
+    """Weighted MSE plus a penalty anchoring the model's response at the
+    zero aero input to zero coefficients (reference
+    `WeightedMSELossConstraint`, surrogates/models.py:171-202): pass
+    ``zero_pred = model(zeros(5))`` so e.g. CY/Cl/Cn vanish in symmetric
+    flow regardless of data coverage."""
+    return weighted_mse(pred, target, weights) + zero_weight * jnp.mean(
+        zero_pred**2
+    )
+
+
 def train_mlp(
     x: np.ndarray,
     y: np.ndarray,

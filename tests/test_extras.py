@@ -155,3 +155,87 @@ class TestTrajectoryIO:
         out = tmp_path / "dash.png"
         TrajectoryPlotter(waypoints=np.array([[50.0, 0, -200]])).save(data, out)
         assert out.exists() and out.stat().st_size > 10000
+
+
+class TestSurrogateExtras:
+    """Net2D/ControlNet + GP surrogate parity (reference
+    surrogates/models.py:20-51,171-250)."""
+
+    def test_weighted_mse_constraint_zero_anchor(self):
+        from aircraft_tpu.surrogates.models import (
+            weighted_mse,
+            weighted_mse_constraint,
+        )
+
+        pred = jnp.ones((4, 6))
+        target = jnp.zeros((4, 6))
+        w = jnp.ones(6)
+        base = weighted_mse(pred, target, w)
+        # zero response at zero input -> no extra penalty
+        same = weighted_mse_constraint(pred, target, w, jnp.zeros(6))
+        np.testing.assert_allclose(float(same), float(base), rtol=1e-6)
+        # nonzero zero-input response is penalised
+        more = weighted_mse_constraint(pred, target, w, jnp.ones(6), 2.0)
+        assert float(more) > float(base)
+
+    def test_batchnorm_mlp_fits_linear_map(self):
+        from aircraft_tpu.surrogates.extras import (
+            batchnorm_mlp_apply,
+            train_batchnorm_mlp,
+        )
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 1, (512, 3)).astype(np.float32)
+        A = np.array([[1.0, -2.0], [0.5, 0.0], [0.0, 1.0]], np.float32)
+        y = x @ A
+        params, loss = train_batchnorm_mlp(
+            x, y, hidden=(32,), epochs=200, batch_size=128, learning_rate=3e-3
+        )
+        pred = batchnorm_mlp_apply(params, jnp.asarray(x[:64]))
+        assert pred.shape == (64, 2)
+        # eval-mode (running-moment) accuracy is the deliverable; the
+        # train-mode loss additionally carries batch-statistic noise
+        assert float(jnp.mean((pred - y[:64]) ** 2)) < 0.05
+
+    def test_gp_surrogate_interpolates(self):
+        from aircraft_tpu.surrogates.extras import GPSurrogate
+
+        x = np.linspace(-2, 2, 30)[:, None]
+        y = np.sin(2 * x[:, 0])
+        gp = GPSurrogate.fit(x, y, iters=150)
+        mean, std = gp.predict(x)
+        np.testing.assert_allclose(np.asarray(mean), y, atol=0.1)
+        xq = np.array([[0.5], [5.0]])
+        _, stdq = gp.predict(xq)
+        # far from data the predictive std grows
+        assert float(stdq[1]) > float(stdq[0])
+
+
+class TestExplorationNoise:
+    def test_parameter_space_noise_perturbs_and_adapts(self):
+        from aircraft_tpu.rl.ddpg import MLPParams, ParameterSpaceNoise, mlp_apply
+
+        p = MLPParams.init(jax.random.PRNGKey(0), [4, 16, 2])
+        noise = ParameterSpaceNoise(initial_std=0.05)
+        p2 = noise.perturb(p)
+        x = jnp.ones((3, 4))
+        d = float(jnp.mean(jnp.abs(mlp_apply(p, x) - mlp_apply(p2, x))))
+        assert d > 0.0
+        s0 = noise.std
+        noise.update(action_distance=0.0)  # too little exploration -> grow
+        assert noise.std > s0
+        noise.update(action_distance=10.0)  # too much -> shrink
+        assert noise.std < s0 * 1.011
+
+    def test_epsilon_greedy_decays(self):
+        from aircraft_tpu.rl.ddpg import EpsilonGreedy
+
+        eg = EpsilonGreedy(eps=1.0, eps_min=0.1, decay=0.5)
+        a = np.zeros(2)
+        out = eg.select(a, -5.0, 5.0)
+        assert out.shape == (2,) and np.all(np.abs(out) <= 5.0)
+        for _ in range(10):
+            eg.select(a, -5.0, 5.0)
+        assert abs(eg.eps - 0.1) < 1e-9
+        eg.eps = 0.0
+        np.testing.assert_array_equal(eg.select(a, -5.0, 5.0), a)
