@@ -25,24 +25,48 @@ from aircraft_tpu.solvers import integrators
 from aircraft_tpu.solvers.ocp import OCPFunctions
 
 
+REFERENCE_ENVELOPE = {
+    # the reference's OCP envelope is HARD-CODED regardless of the declared
+    # state envelope (reference control/aircraft.py:44-59: airspeed^2 in
+    # [20^2, 100^2], |alpha| <= 20 deg, |beta| <= 10 deg); controllers that
+    # mirror reference behaviour pass these overrides explicitly, while
+    # envelope_ineq defaults to honouring the problem JSON's declaration
+    "speed_bounds": (20.0, 100.0),
+    "alpha_limit_deg": 20.0,
+    "beta_limit_deg": 10.0,
+}
+
+
 def envelope_ineq(
     params: AircraftParams,
     state_env: StateEnvelope,
     control_env: ControlEnvelope,
     *,
-    speed_bounds: tuple[float, float] = (20.0, 100.0),
-    alpha_limit_deg: float = 20.0,
-    beta_limit_deg: float = 10.0,
+    speed_bounds: Optional[tuple[float, float]] = None,
+    alpha_limit_deg: Optional[float] = None,
+    beta_limit_deg: Optional[float] = None,
 ) -> Callable:
     """Stage inequality g(x,u,k) <= 0 bundling the flight envelope.
 
     Matches the reference's active set (control/aircraft.py:44-59):
     airspeed² window, |β|, |α|, z < 0, plus the control box
-    (control/aircraft.py:29-41).
+    (control/aircraft.py:29-41).  Limits default to the DECLARED state
+    envelope of the problem JSON (the reference hard-codes 20–100 m/s /
+    |α|≤20° / |β|≤10° regardless of its config — control/aircraft.py:44-59;
+    honouring the declaration matters: an unenforced 30 m/s floor lets the
+    optimiser drift into the energy-cheaper 20 m/s glide and out of the
+    declared envelope).  Pass explicit overrides to reproduce the
+    reference's hard-coded set.
     """
     lb, ub = control_env.bounds(7)
     lb = jnp.asarray(lb, jnp.float32)
     ub = jnp.asarray(ub, jnp.float32)
+    if speed_bounds is None:
+        speed_bounds = (float(state_env.airspeed[0]), float(state_env.airspeed[1]))
+    if alpha_limit_deg is None:
+        alpha_limit_deg = float(max(abs(state_env.alpha[0]), abs(state_env.alpha[1])))
+    if beta_limit_deg is None:
+        beta_limit_deg = float(max(abs(state_env.beta[0]), abs(state_env.beta[1])))
     alpha_lim = float(np.deg2rad(alpha_limit_deg))
     beta_lim = float(np.deg2rad(beta_limit_deg))
     lo2, hi2 = speed_bounds[0] ** 2, speed_bounds[1] ** 2
@@ -127,7 +151,8 @@ def build_aircraft_ocp(
         params, substeps=substeps, normalize=normalize, derivative_fn=deriv
     )
 
-    env_ineq = envelope_ineq(params, config.state, config.control)
+    env_ineq = envelope_ineq(params, config.state, config.control,
+                             **REFERENCE_ENVELOPE)
 
     def ineq(x, u, k):
         g = env_ineq(x, u, k)

@@ -90,9 +90,23 @@ class DubinsInitialiser:
         n_track_points: int = 256,
         pitch_limit_deg: float = 15.0,
         r_min: Optional[float] = None,
+        z_mode: str = "waypoints",   # 'waypoints' | 'glide'
+        glide_ld: float = 12.0,
     ):
+        """``z_mode='glide'`` replaces the waypoint-interpolated altitude
+        profile with one the PLANT can actually fly: the xy geometry is
+        built on a flat plane, then z descends along the track's arc length
+        at slope 1/``glide_ld`` (the achievable lift-to-drag ratio at the
+        flight speed, NOT the problem JSON's course-design ``glide_ratio``).
+        For 2D-objective courses (reference ``waypoint_indices`` [0,1]) the
+        declared glide_ratio=3 backfill demands an 18.4° dive that
+        overspeeds the plant and blows up its turn radius; a feasible slope
+        keeps the tracked flight near trim, which is the stable regime."""
         self.config = config
         wps = config.waypoints.all_points()          # (n+1, 3) incl. start
+        if z_mode == "glide":
+            wps = wps.copy()
+            wps[:, 2] = wps[0, 2]                    # flat for the xy geometry
         speed = config.waypoints.default_velocity
         r_min = r_min if r_min is not None else max(
             config.aircraft.r_min, speed**2 / (9.81 * np.tan(np.deg2rad(45.0)))
@@ -162,6 +176,11 @@ class DubinsInitialiser:
         )
         psi_u = np.interp(s_uniform, s_raw, np.unwrap(raw[:, 3]))
         gamma_u = np.interp(s_uniform, s_raw, raw[:, 4])
+        if z_mode == "glide":
+            # z rides the achievable glide slope along arc length (NED:
+            # +z down, so descending means z increasing toward 0)
+            resampled[:, 2] = wps[0, 2] + s_uniform / glide_ld
+            gamma_u = np.full_like(gamma_u, np.arctan2(1.0, glide_ld))
 
         self.track_points = jnp.asarray(resampled, dtype=jnp.float32)  # (M, 3)
         self._psi = psi_u

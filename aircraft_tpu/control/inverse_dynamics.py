@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from aircraft_tpu.config import SolverConfig, TrajectoryConfig
-from aircraft_tpu.control.aircraft import envelope_ineq
+from aircraft_tpu.control.aircraft import REFERENCE_ENVELOPE, envelope_ineq
 from aircraft_tpu.dynamics import aircraft as ac
 from aircraft_tpu.dynamics import base
 from aircraft_tpu.dynamics.aircraft import AircraftParams
@@ -59,7 +59,8 @@ def build_inverse_dynamics_ocp(
             derivative_fn=rigid_step_derivative,
         )
 
-    env = envelope_ineq(params, config.state, config.control)
+    env = envelope_ineq(params, config.state, config.control,
+                        **REFERENCE_ENVELOPE)
 
     def eq(x, v, k):
         u = v[..., :7]

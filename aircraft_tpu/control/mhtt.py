@@ -66,26 +66,52 @@ def build_mhtt_ocp(
     substeps: int = 1,
     progress_correction: float = 0.05,
     wind_channels: bool = False,
+    track_dims: tuple[int, ...] = (0, 1, 2),
+    v_ref: float = 0.0,
+    w_speed: float = 0.0,
+    w_rate: float = 0.0,
+    alpha_guard_deg: float = 0.0,
+    envelope_overrides: Optional[dict] = None,
+    stall_guard: tuple[float, float] = (2.0, 10.0),
 ) -> OCPFunctions:
     """OCP over the augmented state z = [x(13), s] (+ wind(3) when
     `wind_channels` — the MHE estimate rides constant state channels, so
-    the controller adapts to re-estimated wind without any retrace)."""
+    the controller adapts to re-estimated wind without any retrace).
+
+    ``track_dims`` restricts the tracking error to the declared objective
+    dimensions (the reference's ``waypoint_indices``, e.g. ``(0, 1)`` for
+    the 2D-waypoint glider course, reference utils.py:247-275): with a 2D
+    objective the altitude profile is left to the plant's natural glide
+    instead of being forced onto the track's glide-ratio backfill — chasing
+    an infeasibly steep z-profile overspeeds the plant and blows up its
+    turn radius, losing the xy course.
+
+    The progress tangent is projected onto the SAME dims: otherwise the
+    backfilled track's down-slope lets the controller farm progress reward
+    by diving (v·t̂ credit with zero xy tracking error near the start —
+    observed: bunt-over, stall at 20 m/s, ground impact in 11 s).  With the
+    vertical axis untracked, ``w_speed·(|v| − v_ref)²`` is the term that
+    regulates it — a dive accelerates, a zoom-climb stalls, so a speed hold
+    pins the flight-path angle near the natural glide slope."""
     from aircraft_tpu.dynamics import aircraft as _ac
+
+    dim_mask = jnp.zeros(3, dtype=jnp.float32).at[jnp.asarray(track_dims)].set(1.0)
 
     if wind_channels:
         def _deriv(x, u, w):
             return _ac.state_derivative(params, x, u, wind=w)
     step13 = integrators.make_step_fn(params, substeps=substeps, normalize="step")
     L = float(track_length)
-    env = envelope_ineq(params, config.state, config.control)
+    env = envelope_ineq(params, config.state, config.control,
+                        **(envelope_overrides or {}))
 
     def progress_rate(z):
         x, s = z[..., :13], z[..., 13]
-        tangent = catmull_rom_tangent(track_points, s) / L  # unit-ish direction
+        tangent = catmull_rom_tangent(track_points, s) / L * dim_mask
         tnorm = jnp.linalg.norm(tangent, axis=-1)
         tdir = tangent / jnp.where(tnorm > 1e-3, tnorm, 1.0)[..., None]
         s_dot = jnp.einsum("...i,...i->...", x[..., 3:6], tdir) / L
-        pos_err = x[..., 0:3] - catmull_rom_eval(track_points, s)
+        pos_err = (x[..., 0:3] - catmull_rom_eval(track_points, s)) * dim_mask
         corr = jnp.einsum("...i,...i->...", pos_err, tdir) / L
         return s_dot, corr, pos_err
 
@@ -102,41 +128,92 @@ def build_mhtt_ocp(
             return jnp.concatenate([x_next, s_next[..., None], w], axis=-1)
         return jnp.concatenate([step13(x, u, dt), s_next[..., None]], axis=-1)
 
-    def stage_cost(z, u, k):
-        x, s = z[:13], z[13]
-        s_dot, _, pos_err = progress_rate(z)
-        tracking = jnp.sum(pos_err * pos_err)
-        backward = jnp.maximum(0.0, -s_dot) ** 2
-        speed = jnp.linalg.norm(x[3:6])
-        low_vel = jnp.maximum(0.1 - speed, 0.0) ** 2
-        effort = jnp.sum(u * u)
+    def stage_residuals(z, u, k):
+        """Least-squares part of the stage cost, as a residual vector r with
+        cost 0.5·‖r‖² (each weight w·t² maps to a component √(2w)·t).  The
+        Gauss-Newton quadraticizer turns this into JᵀJ curvature — one
+        short-vector jacfwd per knot instead of full scalar Hessians."""
+        x = z[..., :13]
+        _, _, pos_err = progress_rate(z)
+        s_dot, _, _ = progress_rate(z)
+        speed = jnp.linalg.norm(x[..., 3:6], axis=-1)
+        parts = [
+            jnp.sqrt(2.0 * W_TRACKING) * pos_err,
+            jnp.sqrt(2.0 * W_BACKWARD) * jnp.maximum(0.0, -s_dot)[..., None],
+            jnp.sqrt(2.0 * W_LOW_VELOCITY)
+            * jnp.maximum(0.1 - speed, 0.0)[..., None],
+            jnp.sqrt(2.0 * W_CONTROL) * u,
+            # soft overspeed barrier backing up the hard AL envelope constraint
+            jnp.sqrt(2.0) * jnp.maximum(speed - 110.0, 0.0)[..., None],
+        ]
+        if w_speed > 0.0:
+            # two-part speed regulation (calibrated in closed loop on the
+            # glide-limit course): a GENTLE symmetric hold that guides
+            # off-speed starts toward v_ref without violent pitch
+            # transients, plus a 10× stall guard below v_ref − 2 — the
+            # symmetric term alone lets the energy-optimal-but-illegal
+            # slower glide drift under the 30 m/s envelope floor faster
+            # than the AL penalty can bite (observed: committed speed 20,
+            # stall departure); a hard asymmetric term alone leaves a fast
+            # start (50 m/s) undamped into the first turn
+            parts.append(jnp.sqrt(2.0 * w_speed) * (speed - v_ref)[..., None])
+            # stall_guard = (margin, factor): extra weight below
+            # v_ref - margin
+            parts.append(
+                jnp.sqrt(2.0 * stall_guard[1] * w_speed)
+                * jnp.maximum((v_ref - stall_guard[0]) - speed, 0.0)[..., None]
+            )
+        # stall-departure guards, active BEFORE the AL envelope multipliers
+        # ramp up: body-rate damping keeps maneuvers in the attached-flow
+        # regime, and a soft angle-of-attack margin pushes back inside the
+        # (chaotic) post-stall boundary where line-search candidates freeze
+        if w_rate > 0.0:
+            parts.append(jnp.sqrt(2.0 * w_rate) * x[..., 10:13])
+        if alpha_guard_deg > 0.0:
+            from aircraft_tpu.dynamics import aircraft as _ac2
+
+            aero = _ac2.aero_state(params, x, u)
+            a_lim = jnp.deg2rad(alpha_guard_deg)
+            parts.append(
+                jnp.sqrt(20.0)
+                * jnp.maximum(jnp.abs(aero.alpha) - a_lim, 0.0)[..., None]
+            )
+        return jnp.concatenate(parts, axis=-1)
+
+    def stage_rest(z, u, k):
+        """Non-least-squares terms (progress rewards): exact gradient in the
+        GN expansion, curvature dropped (near-linear; keeps stages PSD)."""
+        s = z[..., 13]
+        s_dot, _, _ = progress_rate(z)
         # saturate the progress-rate reward — an unbounded −s_dot term lets
         # early (weak-penalty) AL iterations exploit physically absurd
         # speeds before the envelope constraints bite
         rate_reward = 0.5 * jnp.tanh(s_dot / 0.5)
-        # soft overspeed barrier backing up the hard AL envelope constraint
-        overspeed = jnp.maximum(speed - 110.0, 0.0) ** 2
-        return (
-            W_TRACKING * tracking
-            - W_PROGRESS * s
-            - W_PROGRESS_RATE * rate_reward
-            + W_BACKWARD * backward
-            + W_LOW_VELOCITY * low_vel
-            + W_CONTROL * effort
-            + 1.0 * overspeed
-        )
+        return -W_PROGRESS * s - W_PROGRESS_RATE * rate_reward
+
+    def stage_cost(z, u, k):
+        r = stage_residuals(z, u, k)
+        return 0.5 * jnp.sum(r * r, axis=-1) + stage_rest(z, u, k)
 
     def terminal_cost(z):
         x, s = z[:13], z[13]
-        goal = catmull_rom_eval(track_points, jnp.asarray(1.0))
-        align = jnp.linalg.norm(x[:3] - goal + 1e-9)
+        # align to the track point at the TERMINAL PROGRESS ACHIEVED, not to
+        # the track end: on a long track the s=1 goal sits far behind the
+        # window's reach, and minimising distance to it drags the window
+        # tail backwards (observed: every window decelerating/zoom-climbing
+        # into a stall near its horizon).  The reference's terminal term
+        # likewise aligns to the local track target
+        # (reference moving_horizon.py:96-106).
+        goal = catmull_rom_eval(track_points, s)
+        align = jnp.linalg.norm((x[:3] - goal) * dim_mask + 1e-9)
         return W_TERMINAL_ALIGN * align - W_PROGRESS * 10.0 * s
 
     def ineq(z, u, k):
         return env(z[:13], u, k)
 
     return OCPFunctions(
-        step=step, stage_cost=stage_cost, terminal_cost=terminal_cost, ineq=ineq
+        step=step, stage_cost=stage_cost, terminal_cost=terminal_cost, ineq=ineq,
+        stage_residuals=stage_residuals, stage_rest=stage_rest,
     )
 
 
@@ -154,7 +231,28 @@ class MHTT:
         overlap: int = 30,
         substeps: int = 1,
         solver_config: Optional[SolverConfig] = None,
+        track_dims: Optional[tuple[int, ...]] = None,
+        v_ref: Optional[float] = None,
+        w_speed: Optional[float] = None,
+        w_rate: float = 0.0,
+        alpha_guard_deg: float = 0.0,
+        envelope_overrides: Optional[dict] = None,
+        progress_correction: float = 0.05,
+        stall_guard: tuple[float, float] = (2.0, 10.0),
     ):
+        if v_ref is None:
+            v_ref = float(config.waypoints.default_velocity)
+        if track_dims is None:
+            # full 3D tracking by default even for 2D objectives: the track
+            # z-profile anchors the (unstable) longitudinal axis — pair a 2D
+            # objective with z_mode='glide' track construction rather than
+            # dropping z from the tracking cost (xy-only tracking leaves the
+            # phugoid unregulated; observed stall/tumble in closed loop)
+            track_dims = (0, 1, 2)
+        if w_speed is None:
+            # speed hold as a regulariser only when the vertical axis is
+            # untracked (see build_mhtt_ocp docstring)
+            w_speed = 0.5 if 2 not in track_dims else 0.0
         self.params = params
         self.config = config
         self.track = track
@@ -169,7 +267,12 @@ class MHTT:
         )
         self.ocp = build_mhtt_ocp(
             params, config, track.track_points, track.length(), dt=dt,
-            substeps=substeps,
+            substeps=substeps, track_dims=track_dims,
+            v_ref=v_ref, w_speed=w_speed,
+            w_rate=w_rate, alpha_guard_deg=alpha_guard_deg,
+            envelope_overrides=envelope_overrides,
+            progress_correction=progress_correction,
+            stall_guard=stall_guard,
         )
         self._solve = jax.jit(
             lambda z0, us: ilqr.solve(self.ocp, z0, us, self.solver_config)
@@ -234,10 +337,16 @@ class MHTT:
         s0: float = 0.0,
         max_windows: int = 200,
         progress_target: float = 0.99,
+        us_init: Optional[jax.Array] = None,
+        verbose: bool = False,
     ) -> dict:
         """Closed-loop MPC until the track is consumed
-        (reference main/mhe/mhtt.py:79-124)."""
-        us = jnp.zeros((self.N, 7), dtype=jnp.float32)
+        (reference main/mhe/mhtt.py:79-124).  ``us_init`` seeds the first
+        window (e.g. trim controls tiled over the horizon — a cold zero
+        start can commit a destabilising first window before the warm-start
+        carry takes over)."""
+        us = (jnp.zeros((self.N, 7), dtype=jnp.float32) if us_init is None
+              else jnp.asarray(us_init, dtype=jnp.float32))
         x = jnp.asarray(x0, dtype=jnp.float32)
         s = float(s0)
 
@@ -248,6 +357,13 @@ class MHTT:
 
         while s < progress_target and windows < max_windows:
             sol = self.solve_window(x, s, us)
+            if verbose and windows % 10 == 0:
+                _v = float(jnp.linalg.norm(sol.xs[self.commit, 3:6]))
+                print(
+                    f"  window {windows}: s={s:.3f} viol={float(sol.violation):.2f} "
+                    f"pos=({float(x[0]):.0f},{float(x[1]):.0f},{float(x[2]):.0f}) "
+                    f"v={_v:.1f}", flush=True,
+                )
             # abort only on divergence or gross infeasibility (reference
             # breaks on IPOPT failure, main/mhe/mhtt.py:82-84); small
             # envelope residuals are expected mid-flight under warm AL

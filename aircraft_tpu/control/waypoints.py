@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from aircraft_tpu.config import SolverConfig, TrajectoryConfig
-from aircraft_tpu.control.aircraft import envelope_ineq
+from aircraft_tpu.control.aircraft import REFERENCE_ENVELOPE, envelope_ineq
 from aircraft_tpu.dynamics.aircraft import AircraftParams
 from aircraft_tpu.solvers import ilqr, integrators
 from aircraft_tpu.solvers.ocp import OCPFunctions
@@ -62,7 +62,8 @@ def build_waypoint_ocp(
     tol2 = jnp.asarray(config.waypoints.tolerance**2, dtype=jnp.float32)
 
     step13 = integrators.make_step_fn(params, substeps=substeps, normalize="step")
-    env = envelope_ineq(params, config.state, config.control)
+    env = envelope_ineq(params, config.state, config.control,
+                        **REFERENCE_ENVELOPE)
     # free-time modes make the knot timestep a decision variable
     # (reference control/base.py:361-379):
     #   'progress': dt = 1/ν²   'variable'/'adaptive': dt = ν²

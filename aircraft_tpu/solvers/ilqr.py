@@ -97,11 +97,27 @@ def _quadraticize_gn(ocp: OCPFunctions, al: ALState, xs, us):
     mu = al.mu
 
     def stage(x, u, k):
-        cx = jax.grad(ocp.stage_cost, argnums=0)(x, u, k)
-        cu = jax.grad(ocp.stage_cost, argnums=1)(x, u, k)
-        cxx = jax.hessian(ocp.stage_cost, argnums=0)(x, u, k)
-        cuu = jax.hessian(ocp.stage_cost, argnums=1)(x, u, k)
-        cux = jax.jacfwd(lambda xx: jax.grad(ocp.stage_cost, argnums=1)(xx, u, k))(x)
+        if ocp.stage_residuals is not None:
+            # least-squares curvature: J^T J of the residual vector — one
+            # jacfwd of a short vector instead of two scalar Hessians
+            r = ocp.stage_residuals(x, u, k)
+            Jx = jax.jacfwd(lambda xx: ocp.stage_residuals(xx, u, k))(x)
+            Ju = jax.jacfwd(lambda uu: ocp.stage_residuals(x, uu, k))(u)
+            cx = Jx.T @ r
+            cu = Ju.T @ r
+            cxx = Jx.T @ Jx
+            cuu = Ju.T @ Ju
+            cux = Ju.T @ Jx
+            if ocp.stage_rest is not None:
+                # exact gradient of the non-LSQ terms; curvature dropped
+                cx = cx + jax.grad(ocp.stage_rest, argnums=0)(x, u, k)
+                cu = cu + jax.grad(ocp.stage_rest, argnums=1)(x, u, k)
+        else:
+            cx = jax.grad(ocp.stage_cost, argnums=0)(x, u, k)
+            cu = jax.grad(ocp.stage_cost, argnums=1)(x, u, k)
+            cxx = jax.hessian(ocp.stage_cost, argnums=0)(x, u, k)
+            cuu = jax.hessian(ocp.stage_cost, argnums=1)(x, u, k)
+            cux = jax.jacfwd(lambda xx: jax.grad(ocp.stage_cost, argnums=1)(xx, u, k))(x)
 
         # inequality block: active-set PHR
         g = ocp.ineq(x, u, k)

@@ -48,6 +48,20 @@ class OCPFunctions:
     # "meta" controls (per-knot timesteps, waypoint passage impulses) where
     # state feedback destabilises the candidate rollouts.
     feedback_mask: tuple = struct.field(pytree_node=False, default=None)
+    # OPTIONAL least-squares decomposition of the stage cost:
+    #   stage_cost(x, u, k) == 0.5 * ||stage_residuals(x, u, k)||^2
+    #                          + (stage_rest(x, u, k) if provided else 0)
+    # When present, the Gauss-Newton quadraticizer builds curvature as
+    # J^T J of the residuals (a jacfwd of a short vector) instead of a full
+    # jax.hessian of the scalar cost — typically the dominant cost of an
+    # inner iteration.  `stage_rest` collects the non-least-squares terms
+    # (progress rewards etc.); it contributes its exact GRADIENT but its
+    # curvature is dropped (assumed near-linear; dropping keeps the stage
+    # Hessian PSD).  `stage_cost` stays the source of truth for line-search
+    # cost evaluation, so an inconsistent decomposition degrades step
+    # quality, never correctness of the accepted cost.
+    stage_residuals: Callable = struct.field(pytree_node=False, default=None)
+    stage_rest: Callable = struct.field(pytree_node=False, default=None)
 
 
 @struct.dataclass
