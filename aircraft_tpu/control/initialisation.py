@@ -92,6 +92,8 @@ class DubinsInitialiser:
         r_min: Optional[float] = None,
         z_mode: str = "waypoints",   # 'waypoints' | 'glide'
         glide_ld: float = 12.0,
+        r_min_per_segment: Optional[list] = None,
+        extend: float = 0.0,
     ):
         """``z_mode='glide'`` replaces the waypoint-interpolated altitude
         profile with one the PLANT can actually fly: the xy geometry is
@@ -132,7 +134,15 @@ class DubinsInitialiser:
                 np.cos(seg_psi[i] - seg_psi[i - 1]),
             )
             if abs(turn) > np.pi / 2:
-                psi[i] = seg_psi[i]
+                # INCOMING heading at reversals: the track flies straight
+                # THROUGH the waypoint and turns around inside the NEXT
+                # segment, so every waypoint is approached on a straight
+                # (accurately trackable) leg and the Dubins loop's
+                # accumulated tracking error lands mid-segment, not at the
+                # scored point.  (Using the outgoing heading instead puts a
+                # full turnaround loop BEFORE each waypoint — observed
+                # 65-90 m closed-loop misses.)
+                psi[i] = seg_psi[i - 1]
             else:
                 psi[i] = np.arctan2(
                     np.sin(seg_psi[i - 1]) + np.sin(seg_psi[i]),
@@ -155,7 +165,14 @@ class DubinsInitialiser:
         for i in range(len(wps) - 1):
             qi = np.array([*wps[i], psi[i], gamma[i]])
             qf = np.array([*wps[i + 1], psi[i + 1], gamma[i + 1]])
-            m = maneuver3d(qi, qf, r_min, pitch_limits=(-lim, lim))
+            # per-segment radius: a glider bleeds energy along the course,
+            # so late segments are flown slower and can turn much tighter
+            # than the entry speed demands
+            r_i = (
+                float(r_min_per_segment[min(i, len(r_min_per_segment) - 1)])
+                if r_min_per_segment else r_min
+            )
+            m = maneuver3d(qi, qf, r_i, pitch_limits=(-lim, lim))
             if m is not None:
                 samples = m.sample_many(96)
                 self.segment_lengths.append(m.length)
@@ -163,6 +180,29 @@ class DubinsInitialiser:
                 samples = straight_line_fallback(qi, qf, 96)
                 self.segment_lengths.append(float(np.linalg.norm(wps[i + 1] - wps[i])))
             sample_blocks.append(samples if i == 0 else samples[1:])
+        if extend > 0.0:
+            # straight run-out past the final waypoint: receding-horizon
+            # tracking needs the carrot to survive the goal — a track that
+            # ENDS at the scored point leaves the last ~commit-horizon of
+            # flight without a target and the progress cutoff stops the
+            # controller short of it (observed: 17 m miss at the final
+            # waypoint with everything earlier passing <4 m)
+            last = sample_blocks[-1][-1]
+            n_ext = max(4, int(extend / 10.0))
+            t_ext = np.linspace(0.0, extend, n_ext + 1)[1:]
+            dxy = np.array([np.cos(last[3]), np.sin(last[3])])
+            ext = np.stack(
+                [
+                    last[0] + t_ext * dxy[0],
+                    last[1] + t_ext * dxy[1],
+                    np.full_like(t_ext, last[2]),
+                    np.full_like(t_ext, last[3]),
+                    np.zeros_like(t_ext),
+                ],
+                axis=1,
+            )
+            sample_blocks.append(ext)
+            self.segment_lengths.append(float(extend))
         raw = np.concatenate(sample_blocks, axis=0)   # (M_raw, 5)
 
         # arc-length resample to a uniform grid (trapezoid arc length,

@@ -1,0 +1,63 @@
+"""Flagship demo: fly the reference glider problem's full there-and-back
+waypoint course closed-loop and within the declared 10 m xy tolerance.
+
+This is the experiment the reference's main/control/control.py +
+main/mhe/mhtt.py aim at (the 4-waypoint course of
+data/glider/problem_definition.json): trim, Dubins glide track,
+receding-horizon MHTT, waypoint verification, artifacts.
+
+Run CPU-only (~5 min):
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python examples/full_course.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from aircraft_tpu.config import TrajectoryConfig
+from aircraft_tpu.control.course import solve_full_course
+from aircraft_tpu.plotting import TrajectoryPlotter
+from aircraft_tpu.utils import TrajectoryData
+
+PROBLEM = os.environ.get(
+    "PROBLEM_JSON", "/root/reference/data/glider/problem_definition.json"
+)
+
+
+def main():
+    cfg = TrajectoryConfig.from_json(PROBLEM)
+    wps = np.asarray(cfg.waypoints.array())
+    print(f"course: {len(wps)} waypoints, tolerance {cfg.waypoints.tolerance} m "
+          f"over dims {list(cfg.waypoints.waypoint_indices)}")
+
+    t0 = time.time()
+    out = solve_full_course(cfg, verbose=True)
+    wall = time.time() - t0
+
+    states = out["states"]
+    print(f"\nflight: {states.shape[0]} steps "
+          f"({states.shape[0] * 0.05:.0f} s simulated, {wall:.0f} s wall), "
+          f"{out['windows']} MPC windows")
+    print(f"speed range {out['speed_range'][0]:.1f}-{out['speed_range'][1]:.1f} m/s, "
+          f"final altitude {out['final_altitude']:.0f} m")
+    for j, m in enumerate(out["misses"]):
+        ok = "PASS" if m < out["tolerance"] else "MISS"
+        print(f"  wp{j} {wps[j][:2]}: closest approach {m:.1f} m  [{ok}]")
+    print(f"\ncourse {'PASSED' if out['success'] else 'FAILED'} "
+          f"(tolerance {out['tolerance']} m)")
+
+    outdir = "data/visualisation"
+    os.makedirs(outdir, exist_ok=True)
+    data = TrajectoryData(state=states[:, :13], control=out["controls"][:, :7])
+    data.save_npz(f"{outdir}/full_course.npz")
+    TrajectoryPlotter(waypoints=wps, dt=0.05).save(data, f"{outdir}/full_course.png")
+    print(f"saved {outdir}/full_course.npz and .png")
+    return 0 if out["success"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
