@@ -150,6 +150,14 @@ def main():
     except Exception:
         pass
 
+    if os.environ.get("BENCH_PALLAS_CHOL"):
+        # route the Riccati sweep's per-knot PD solves through the Pallas
+        # lanes kernel (kernels/cholesky_kernel.py) via the custom_vmap
+        # fast path
+        from aircraft_tpu.solvers import riccati as _riccati
+
+        _riccati.enable_pallas_chol(True)
+
     cfg = glider_config()
     mlp_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "data", "networks", "mlp.npz")
@@ -170,6 +178,10 @@ def main():
 
     track = DubinsInitialiser(cfg)
     ocp = build_mhtt_ocp(params, cfg, track.track_points, track.length(), dt=DT)
+    if os.environ.get("BENCH_NO_RESIDUAL"):
+        # A/B escape: drop the least-squares decomposition so the
+        # Gauss-Newton quadraticizer falls back to full scalar Hessians
+        ocp = ocp.replace(stage_residuals=None, stage_rest=None)
 
     solver_cfg = SolverConfig(
         max_al_iters=int(os.environ.get("BENCH_AL", "2")),

@@ -45,3 +45,50 @@ def test_no_cross_no_linear():
     K_a, k_a, *_ = riccati.backward_associative(*prob, reg)
     np.testing.assert_allclose(np.asarray(K_a), np.asarray(K_s), rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(k_a), np.asarray(k_s), atol=1e-4)
+
+
+class TestPallasCholInSweep:
+    """The batched-Cholesky Pallas kernel wired into the Riccati sweep via
+    custom_vmap (enable_pallas_chol): vmapped solves must match the XLA
+    path (interpret mode stands in for the TPU on CPU)."""
+
+    def test_vmapped_backward_matches_xla_path(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from aircraft_tpu.solvers import riccati
+
+        rng = np.random.default_rng(3)
+        Bsz, N, n, m = 3, 6, 5, 3
+
+        def make(b):
+            A = jnp.asarray(rng.normal(0, 0.3, (N, n, n)) + np.eye(n), jnp.float32)
+            Bm = jnp.asarray(rng.normal(0, 0.3, (N, n, m)), jnp.float32)
+            lx = jnp.asarray(rng.normal(0, 1, (N, n)), jnp.float32)
+            lu = jnp.asarray(rng.normal(0, 1, (N, m)), jnp.float32)
+            W = rng.normal(0, 1, (N, n, n))
+            lxx = jnp.asarray(np.einsum("kij,klj->kil", W, W) / n + np.eye(n), jnp.float32)
+            Wu = rng.normal(0, 1, (N, m, m))
+            luu = jnp.asarray(np.einsum("kij,klj->kil", Wu, Wu) / m + np.eye(m), jnp.float32)
+            lux = jnp.asarray(rng.normal(0, 0.1, (N, m, n)), jnp.float32)
+            vx = jnp.asarray(rng.normal(0, 1, (n,)), jnp.float32)
+            vxx = jnp.asarray(np.eye(n), jnp.float32)
+            return A, Bm, lx, lu, lxx, luu, lux, vx, vxx
+
+        batches = [make(b) for b in range(Bsz)]
+        stacked = tuple(jnp.stack([b[i] for b in batches]) for i in range(9))
+        regs = jnp.full((Bsz,), 1e-6, jnp.float32)
+
+        def sweep(args, reg):
+            return riccati.backward_sequential(*args, reg)
+
+        try:
+            riccati.enable_pallas_chol(False)
+            K0, k0, *_ = jax.vmap(sweep)(stacked, regs)
+            riccati.enable_pallas_chol(True, interpret=True)
+            K1, k1, *_ = jax.vmap(sweep)(stacked, regs)
+        finally:
+            riccati.enable_pallas_chol(False)
+        np.testing.assert_allclose(np.asarray(K1), np.asarray(K0), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(k1), np.asarray(k0), atol=2e-3)
