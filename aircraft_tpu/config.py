@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+from typing import Optional
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Sequence
@@ -274,6 +275,12 @@ class SolverConfig:
     # knots otherwise emit astronomically large gains whose candidates can
     # never pass the line search (safe: acceptance still requires descent)
     gain_clip: float = 1e4
+    # Gauss-Newton curvature source when the OCP carries a least-squares
+    # decomposition: None = auto (residual J^T J off-TPU where it is ~1.5x
+    # faster; full scalar Hessians on TPU where XLA fuses them ~10% faster
+    # -- measured both ways on the N=50 B=256 headline bench), or force
+    # with True/False
+    use_residual_gn: Optional[bool] = None
     # 'sequential' = O(N) Riccati scan; 'associative' = O(log N)-depth
     # parallel-in-time sweep (wins at long horizons)
     riccati: str = "sequential"

@@ -85,7 +85,8 @@ def _quadraticize(ocp: OCPFunctions, al: ALState, xs, us):
     return lx, lu, lxx, luu, lux, vx, vxx
 
 
-def _quadraticize_gn(ocp: OCPFunctions, al: ALState, xs, us):
+def _quadraticize_gn(ocp: OCPFunctions, al: ALState, xs, us,
+                     use_residuals: bool = True):
     """Gauss–Newton expansion: exact gradient of the AL, exact Hessian of
     the *cost* terms, and first-order (μ JᵀJ on the active set) curvature
     for the constraint terms.  PSD constraint curvature by construction —
@@ -97,7 +98,7 @@ def _quadraticize_gn(ocp: OCPFunctions, al: ALState, xs, us):
     mu = al.mu
 
     def stage(x, u, k):
-        if ocp.stage_residuals is not None:
+        if ocp.stage_residuals is not None and use_residuals:
             # least-squares curvature: J^T J of the residual vector — one
             # jacfwd of a short vector instead of two scalar Hessians
             r = ocp.stage_residuals(x, u, k)
@@ -295,7 +296,17 @@ def solve_impl(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
         )
 
         A, B = linearize(xs, us)
-        quad = _quadraticize_gn if config.hessian == "gauss_newton" else _quadraticize
+        if config.hessian == "gauss_newton":
+            # curvature source is a per-backend performance choice, same
+            # stationary point either way (see SolverConfig.use_residual_gn)
+            use_res = (
+                config.use_residual_gn
+                if config.use_residual_gn is not None
+                else jax.default_backend() != "tpu"
+            )
+            quad = partial(_quadraticize_gn, use_residuals=use_res)
+        else:
+            quad = _quadraticize
         lx, lu, lxx, luu, lux, vx, vxx = quad(ocp, al, xs, us)
         san = lambda t: jnp.clip(
             jnp.nan_to_num(t, nan=0.0, posinf=0.0, neginf=0.0), -1e8, 1e8
