@@ -362,6 +362,28 @@ def solve_waypoint_racing(
     return ilqr.solve(ocp, z0, vs, cfg)
 
 
+def _place_mu_impulses(vs, xs, wps, wp_idx, n_wp):
+    """Traced re-placement of the μ passage impulses at the trajectory's
+    closest-approach knots, keeping passage order (the reference
+    switching-node heuristic, waypoints.py:159-224) — jnp-only so it can
+    live inside a vmapped candidate solve."""
+    N = vs.shape[0]
+    ks = jnp.arange(N)
+    vs = vs.at[:, 7 : 7 + n_wp].set(0.0)
+
+    def place(carry, j):
+        vs, prev = carry
+        diff = (xs[:-1, None, :3] - wps[None])[..., wp_idx]
+        d = jnp.sqrt(jnp.sum(diff[:, j] ** 2, axis=-1))
+        d = jnp.where(ks < prev, jnp.inf, d)
+        i = jnp.argmin(d)
+        vs = vs.at[i, 7 + j].set(1.0)
+        return (vs, i), None
+
+    (vs, _), _ = jax.lax.scan(place, (vs, jnp.asarray(0)), jnp.arange(n_wp))
+    return vs
+
+
 def solve_time_optimal(
     params: AircraftParams,
     config: TrajectoryConfig,
@@ -372,6 +394,7 @@ def solve_time_optimal(
     n_candidates: int = 8,
     dt_span: tuple[float, float] = (0.6, 1.4),
     solver_config: Optional[SolverConfig] = None,
+    per_candidate_warm_start: bool = True,
 ) -> dict:
     """Time-optimal waypoint racing by batched time-scale sweep.
 
@@ -381,63 +404,96 @@ def solve_time_optimal(
     `n_candidates` time scales solve simultaneously under one `vmap` — the
     per-candidate program is bit-identical to a fixed-time solve.  The
     shortest schedule whose waypoints still pass within tolerance wins —
-    the TPU-native shape of the reference's variable-time axis.
+    the TPU-native shape of the reference's variable-time axis
+    (reference control/base.py:361-379, control/variable_time.py).
 
-    STATUS (round 1): experimental. The per-candidate solve is program-
-    identical to the fixed-time solve, but the warm start's trajectory
-    transits a chaotic post-stall regime, so candidates built at off-nominal
-    time scales often fail to improve within the iteration budget — the
-    same fragility the reference records for its free-time modes
-    (SURVEY §6: progress-time FAILED, variable-time 5470 s). Improving the
-    warm start (stall-free tracking) is the round-2 path.
+    With ``per_candidate_warm_start`` (default) each candidate builds its
+    OWN Dubins-tracking warm start at its time scale inside the vmap: a
+    candidate's N·dt_i traversal implies speed L/(N·dt_i), so tracking at
+    the nominal scale and racing at another transits off-energy regimes —
+    the round-1 failure mode.  The μ impulses are re-placed on the tracked
+    trajectory by a traced closest-approach scan.
     """
-    # shared warm start at the nominal time scale
+    from aircraft_tpu.control.initialisation import DubinsInitialiser
+    from aircraft_tpu.solvers.rollout import rollout as _rollout
     from aircraft_tpu.solvers.trim import multistart_trim
 
     trim = multistart_trim(
         params, jax.random.PRNGKey(0), n_starts=32,
         target_airspeed=float(config.waypoints.default_velocity),
     )
-    us_track = tracking_warm_start(
-        params, config, num_nodes=num_nodes, dt=dt_nominal, substeps=substeps,
-        trim_control=trim.control,
-    )
     z0, vs0 = initial_guess(config, num_nodes, time_mode="fixed", dt=dt_nominal)
-    vs0 = vs0.at[:, :7].set(us_track)
 
-    # per-candidate μ impulse placement at the warm trajectory's closest
-    # approach (per time scale)
     step13 = integrators.make_step_fn(params, substeps=substeps, normalize="step")
-    from aircraft_tpu.solvers.rollout import rollout as _rollout
-
     dts = np.linspace(dt_span[0] * dt_nominal, dt_span[1] * dt_nominal,
                       n_candidates).astype(np.float32)
     wps_np = np.asarray(config.waypoints.array())
     n_wp = wps_np.shape[0]
-    vss = np.tile(np.asarray(vs0)[None], (n_candidates, 1, 1))
-    for i, dt_i in enumerate(dts):
-        xs_i = np.asarray(_rollout(step13, z0[:13], vs0[:, :7], float(dt_i)))
-        vss[i, :, 7 : 7 + n_wp] = 0.0
-        prev = 0
-        for j in range(n_wp):
-            d = np.linalg.norm(xs_i[:-1, :3] - wps_np[j], axis=1)
-            d[:prev] = np.inf
-            k = int(np.argmin(d))
-            vss[i, k, 7 + j] = 1.0
-            prev = k
+    wps_j = jnp.asarray(wps_np, jnp.float32)
+    wp_idx = jnp.asarray(config.waypoints.waypoint_indices, dtype=jnp.int32)
 
     cfg_s = solver_config or SolverConfig(max_al_iters=6, max_inner_iters=20)
 
-    def solve_at(dt_i, vs_i):
-        # the OCP closes over the TRACED dt — per-candidate program
-        # identical to a fixed-time solve
-        ocp_i = build_waypoint_ocp(
-            params, config, dt=dt_i, num_nodes=num_nodes, substeps=substeps,
-            time_mode="fixed",
-        )
-        return ilqr.solve_impl(ocp_i, z0, vs_i, cfg_s)
+    if per_candidate_warm_start:
+        # dt-independent pieces of the tracking warm start, hoisted out of
+        # the vmap: Dubins reference states and the trim control
+        init = DubinsInitialiser(config)
+        ref = jnp.asarray(init.state_guess(num_nodes), dtype=jnp.float32)
+        u_trim = jnp.asarray(trim.control, jnp.float32)[:7]
+        cfg_track = SolverConfig(max_al_iters=1, max_inner_iters=30)
 
-    sols = jax.jit(jax.vmap(solve_at))(jnp.asarray(dts), jnp.asarray(vss))
+        def warm_at(dt_i):
+            track_ocp = OCPFunctions(
+                step=lambda x, u, k: step13(x, u, dt_i),
+                stage_cost=lambda x, u, k: (
+                    1e-2 * jnp.sum((x[:3] - ref[k + 1, :3]) ** 2)
+                    + 1e-2 * jnp.sum((x[3:6] - ref[k + 1, 3:6]) ** 2)
+                    + 1e-3 * jnp.sum(u[:3] ** 2)
+                ),
+                terminal_cost=lambda x: 1e-2 * jnp.sum((x[:3] - ref[-1, :3]) ** 2),
+            )
+            us0 = jnp.tile(u_trim[None], (num_nodes, 1))
+            return ilqr.solve_impl(track_ocp, z0[:13], us0, cfg_track).us
+
+        def solve_at(dt_i):
+            us_track = warm_at(dt_i)
+            xs_track = _rollout(step13, z0[:13], us_track, dt_i)
+            vs_i = vs0.at[:, :7].set(us_track)
+            vs_i = _place_mu_impulses(vs_i, xs_track, wps_j, wp_idx, n_wp)
+            ocp_i = build_waypoint_ocp(
+                params, config, dt=dt_i, num_nodes=num_nodes,
+                substeps=substeps, time_mode="fixed",
+            )
+            return ilqr.solve_impl(ocp_i, z0, vs_i, cfg_s)
+
+        sols = jax.jit(jax.vmap(solve_at))(jnp.asarray(dts))
+    else:
+        # legacy shared warm start at the nominal time scale
+        us_track = tracking_warm_start(
+            params, config, num_nodes=num_nodes, dt=dt_nominal,
+            substeps=substeps, trim_control=trim.control,
+        )
+        vs0 = vs0.at[:, :7].set(us_track)
+        vss = np.tile(np.asarray(vs0)[None], (n_candidates, 1, 1))
+        for i, dt_i in enumerate(dts):
+            xs_i = np.asarray(_rollout(step13, z0[:13], vs0[:, :7], float(dt_i)))
+            vss[i, :, 7 : 7 + n_wp] = 0.0
+            prev = 0
+            for j in range(n_wp):
+                d = np.linalg.norm(xs_i[:-1, :3] - wps_np[j], axis=1)
+                d[:prev] = np.inf
+                k = int(np.argmin(d))
+                vss[i, k, 7 + j] = 1.0
+                prev = k
+
+        def solve_at(dt_i, vs_i):
+            ocp_i = build_waypoint_ocp(
+                params, config, dt=dt_i, num_nodes=num_nodes,
+                substeps=substeps, time_mode="fixed",
+            )
+            return ilqr.solve_impl(ocp_i, z0, vs_i, cfg_s)
+
+        sols = jax.jit(jax.vmap(solve_at))(jnp.asarray(dts), jnp.asarray(vss))
 
     xs = np.asarray(sols.xs)
     tol = config.waypoints.tolerance
