@@ -85,3 +85,31 @@ class TestMHTT:
         assert out["states"].shape[1] == 13
         assert np.all(np.isfinite(out["states"]))
         assert out["progress"] > 0.0
+
+
+class TestTimeOptimalSweep:
+    @pytest.mark.slow
+    def test_sweep_selects_fastest_feasible_schedule(self):
+        """The free-time axis (reference control/variable_time.py +
+        base.py:361-379): the batched time-scale sweep must return a
+        feasible schedule and pick the fastest feasible candidate, with
+        each candidate warm-started at its own time scale."""
+        cfg = short_course_config()
+        params = AircraftParams.from_config(cfg.aircraft)
+        res = wp_mod.solve_time_optimal(
+            params, cfg, num_nodes=70, dt_nominal=0.1, substeps=10,
+            n_candidates=3, dt_span=(0.9, 1.3),
+            solver_config=SolverConfig(max_al_iters=6, max_inner_iters=20),
+        )
+        feasible = np.asarray(res["feasible"])
+        T = np.asarray(res["candidate_times"])
+        assert feasible.any(), res["dmins"]
+        # the returned schedule is the fastest feasible one
+        assert res["total_time"] == pytest.approx(float(T[feasible].min()))
+        # and its trajectory is finite with waypoints inside the band
+        xs = np.asarray(res["solution"].xs)
+        assert np.all(np.isfinite(xs))
+        wps = cfg.waypoints.array()
+        for j, w in enumerate(wps):
+            dmin = np.min(np.linalg.norm(xs[:, :3] - w, axis=1))
+            assert dmin < 2.5 * cfg.waypoints.tolerance, (j, dmin)
