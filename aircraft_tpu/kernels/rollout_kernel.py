@@ -111,10 +111,15 @@ def _build_constants(params: AircraftParams):
     return scalars, weights
 
 
-def _derivative_rows(x, u, C, W):
-    """ẋ for state block x (16, B) and control block u (8, B); returns
-    (16, B) with padding rows zero.  Mirrors dynamics/aircraft.py
-    state_derivative in explicit row form."""
+def _derivative_core(x, u, C, mlp):
+    """ẋ for state block x (R, …, B) and control block u (·, …, B); returns
+    the same leading-R block with padding rows zero.  Mirrors
+    dynamics/aircraft.py state_derivative in explicit row form; every op
+    broadcasts over whatever batch dims follow the leading row axis, so the
+    same code serves the lanes layout (rows = (128,) vectors) and the tiles
+    layout (rows = (G, 128) full tiles).  `mlp(qbar, alpha, beta, ail,
+    elev) -> 6 coefficient rows` abstracts the surrogate contraction, which
+    is the only layout-specific op."""
     v = x[3:6]
     qx, qy, qz, qw = x[6], x[7], x[8], x[9]
     wx, wy, wz = x[10], x[11], x[12]
@@ -137,15 +142,7 @@ def _derivative_rows(x, u, C, W):
     beta = _asin(jnp.clip(vr1 / airspeed, -1.0, 1.0))
     qbar = 0.5 * RHO * v2
 
-    # MLP coefficient model on inputs (5, B)
-    w0, b0, w1, b1, w2, b2, in_mean, in_std, out_mean, out_std = W
-    inp = jnp.stack([qbar, alpha, beta, ail, elev])  # (5, B)
-    h = (inp - in_mean) / in_std
-    h = jnp.dot(w0.T, h, preferred_element_type=jnp.float32) + b0.T
-    h = jnp.dot(w1.T, h, preferred_element_type=jnp.float32) + b1.T
-    h = jnp.tanh(h)
-    h = jnp.dot(w2.T, h, preferred_element_type=jnp.float32) + b2.T
-    coeff = h * out_std + out_mean  # (6, B)
+    coeff = mlp(qbar, alpha, beta, ail, elev)
     cn = coeff[5] + C["Cn_rudder"] * 6.0 * rud * DEG2RAD
     c0 = coeff[0] + C_D_FLAPS * flaps
     c2 = coeff[2] + C_Z_FLAPS * flaps
@@ -194,17 +191,16 @@ def _derivative_rows(x, u, C, W):
     wd2 = Ji[2][0] * t0 + Ji[2][1] * t1 + Ji[2][2] * t2
 
     zeros = jnp.zeros_like(a0)
-    return jnp.stack(
-        [v[0], v[1], v[2], a0, a1, a2, qd0, qd1, qd2, qd3, wd0, wd1, wd2,
-         zeros, zeros, zeros]
-    )
+    rows = [v[0], v[1], v[2], a0, a1, a2, qd0, qd1, qd2, qd3, wd0, wd1, wd2]
+    rows += [zeros] * (x.shape[0] - len(rows))
+    return jnp.stack(rows)
 
 
-def _rk4_norm(x, u, dt_sub, C, W):
-    k1 = _derivative_rows(x, u, C, W)
-    k2 = _derivative_rows(x + 0.5 * dt_sub * k1, u, C, W)
-    k3 = _derivative_rows(x + 0.5 * dt_sub * k2, u, C, W)
-    k4 = _derivative_rows(x + dt_sub * k3, u, C, W)
+def _rk4_norm(x, u, dt_sub, C, mlp):
+    k1 = _derivative_core(x, u, C, mlp)
+    k2 = _derivative_core(x + 0.5 * dt_sub * k1, u, C, mlp)
+    k3 = _derivative_core(x + 0.5 * dt_sub * k2, u, C, mlp)
+    k4 = _derivative_core(x + dt_sub * k3, u, C, mlp)
     x = x + (dt_sub / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
     # renormalise the quaternion rows (scatter has no Mosaic lowering —
     # rebuild the block by row-wise scaling instead)
@@ -213,7 +209,7 @@ def _rk4_norm(x, u, dt_sub, C, W):
     scale = jnp.concatenate(
         [jnp.ones((6,) + inv_norm.shape, x.dtype),
          jnp.broadcast_to(inv_norm, (4,) + inv_norm.shape),
-         jnp.ones((6,) + inv_norm.shape, x.dtype)],
+         jnp.ones((x.shape[0] - 10,) + inv_norm.shape, x.dtype)],
         axis=0,
     )
     return x * scale
@@ -239,7 +235,20 @@ def make_fused_rollout(
 
     def kernel(x0_ref, us_ref, *rest):
         *w_refs, out_ref = rest
-        W = tuple(r[:] for r in w_refs)
+        w0, b0, w1, b1, w2, b2, in_mean, in_std, out_mean, out_std = (
+            r[:] for r in w_refs
+        )
+
+        def mlp(qbar, alpha, beta, ail, elev):
+            # batch rides the MXU N-dimension: (16×5)(5×B) … (6×32)(32×B)
+            inp = jnp.stack([qbar, alpha, beta, ail, elev])  # (5, B)
+            h = (inp - in_mean) / in_std
+            h = jnp.dot(w0.T, h, preferred_element_type=jnp.float32) + b0.T
+            h = jnp.dot(w1.T, h, preferred_element_type=jnp.float32) + b1.T
+            h = jnp.tanh(h)
+            h = jnp.dot(w2.T, h, preferred_element_type=jnp.float32) + b2.T
+            return h * out_std + out_mean  # (6, B)
+
         # refs carry the leading (1,)-block axis of the grid tiling
         x = x0_ref[0]  # (16, 128)
         out_ref[0, 0] = x
@@ -247,7 +256,7 @@ def make_fused_rollout(
         def body(k, x):
             u = us_ref[0, k]  # (8, 128)
             for _ in range(substeps):
-                x = _rk4_norm(x, u, dt_sub, C, W)
+                x = _rk4_norm(x, u, dt_sub, C, mlp)
             out_ref[0, pl.ds(k + 1, 1)] = x[None]
             return x
 
@@ -288,5 +297,129 @@ def make_fused_rollout(
         )(x0_t, us_t, *weights)
         # (tiles, N+1, 16, 128) -> (B, N+1, 13)
         return out[:, :, :13].transpose(0, 3, 1, 2).reshape(B, N + 1, 13)
+
+    return rollout
+
+
+def make_fused_rollout_tiles(
+    params: AircraftParams,
+    *,
+    horizon: int,
+    dt: float,
+    substeps: int = 1,
+    group: int = 8,
+    interpret: bool = False,
+):
+    """Full-tile variant of the fused rollout: each state component is a
+    whole (group, 128) vreg tile, so every physics op runs at full VPU
+    occupancy on group*128 scenarios — the lanes layout above leaves 7/8 of
+    the sublanes idle on its (1, 128) row ops.
+
+    The trade: the MLP can no longer ride the MXU (its batch axis now spans
+    sublanes AND lanes, and Mosaic has no cheap (G,128)->(1, G*128)
+    relayout), so the three matmuls become scalar-broadcast FMA chains with
+    the weights in SMEM.  Input/output normalisation is folded into the
+    first/last layer weights host-side, which removes 22 tile-ops per
+    evaluation.  Net: ~1k full tiles per derivative eval for 1024
+    scenarios vs ~230 eighth-occupancy ops per 128 — roughly 2x.
+
+    Returns `rollout(x0 (B,13), us (B,N,7)) -> xs (B,N+1,13)`; B must be a
+    multiple of group*128.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, weights = _build_constants(params)
+    (w0, b0, w1, b1, w2, b2, in_mean, in_std, out_mean, out_std) = weights
+    in_mean, in_std = in_mean[:, 0], in_std[:, 0]
+    out_mean, out_std = out_mean[:, 0], out_std[:, 0]
+    # fold the input scaler into layer 0 and the output scaler into layer 2
+    w0f = (w0 / in_std[:, None]).astype(np.float32)              # (5, 16)
+    b0f = (b0[0] - in_mean @ w0f).astype(np.float32)             # (16,)
+    w1f, b1f = w1.astype(np.float32), b1[0].astype(np.float32)   # (16,32),(32,)
+    w2f = (w2 * out_std[None, :]).astype(np.float32)             # (32, 6)
+    b2f = (b2[0] * out_std + out_mean).astype(np.float32)        # (6,)
+    smem_arrays = (w0f, b0f, w1f, b1f, w2f, b2f)
+
+    N = horizon
+    dt_sub = dt / substeps
+    G = group
+    R, CR = 13, 7
+    n0, n1, n2 = w0f.shape[1], w1f.shape[1], w2f.shape[1]
+
+    def kernel(x0_ref, us_ref, w0_ref, b0_ref, w1_ref, b1_ref, w2_ref,
+               b2_ref, out_ref):
+        # hoist every weight scalar out of the step loops (read once,
+        # closed over by all 4*substeps derivative evaluations)
+        W0 = [[w0_ref[i, j] for j in range(n0)] for i in range(w0f.shape[0])]
+        B0 = [b0_ref[j] for j in range(n0)]
+        W1 = [[w1_ref[i, j] for j in range(n1)] for i in range(w1f.shape[0])]
+        B1 = [b1_ref[j] for j in range(n1)]
+        W2 = [[w2_ref[i, j] for j in range(n2)] for i in range(w2f.shape[0])]
+        B2 = [b2_ref[j] for j in range(n2)]
+
+        def mlp(qbar, alpha, beta, ail, elev):
+            inp = (qbar, alpha, beta, ail, elev)
+            h1 = []
+            for j in range(n0):
+                acc = inp[0] * W0[0][j] + B0[j]
+                for i in range(1, len(inp)):
+                    acc = acc + inp[i] * W0[i][j]
+                h1.append(acc)
+            h2 = []
+            for j in range(n1):
+                acc = h1[0] * W1[0][j] + B1[j]
+                for i in range(1, n0):
+                    acc = acc + h1[i] * W1[i][j]
+                h2.append(jnp.tanh(acc))
+            out = []
+            for j in range(n2):
+                acc = h2[0] * W2[0][j] + B2[j]
+                for i in range(1, n1):
+                    acc = acc + h2[i] * W2[i][j]
+                out.append(acc)
+            return jnp.stack(out)  # (6, G, 128)
+
+        x = x0_ref[0]  # (13, G, 128)
+        out_ref[0, 0] = x
+
+        def body(k, x):
+            u = us_ref[0, k]  # (7, G, 128)
+            x = jax.lax.fori_loop(
+                0, substeps, lambda s, x: _rk4_norm(x, u, dt_sub, C, mlp), x
+            )
+            out_ref[0, pl.ds(k + 1, 1)] = x[None]
+            return x
+
+        jax.lax.fori_loop(0, N, body, x)
+
+    def rollout(x0: jax.Array, us: jax.Array) -> jax.Array:
+        B = x0.shape[0]
+        per_tile = G * LANES
+        assert B % per_tile == 0, f"batch {B} must be a multiple of {per_tile}"
+        T = B // per_tile
+        x0_t = x0.reshape(T, G, LANES, R).transpose(0, 3, 1, 2)
+        us_t = us.reshape(T, G, LANES, N, CR).transpose(0, 3, 4, 1, 2)
+
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((T, N + 1, R, G, LANES), x0.dtype),
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, R, G, LANES), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, CR, G, LANES), lambda i: (i, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [
+                pl.BlockSpec(a.shape, (lambda i, nd=a.ndim: (0,) * nd),
+                             memory_space=pltpu.SMEM)
+                for a in smem_arrays
+            ],
+            out_specs=pl.BlockSpec((1, N + 1, R, G, LANES),
+                                   lambda i: (i, 0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x0_t, us_t, *smem_arrays)
+        return out.transpose(0, 3, 4, 1, 2).reshape(B, N + 1, R)
 
     return rollout

@@ -50,6 +50,35 @@ class TestFusedRollout:
         assert xs_kernel.shape == xs_ref.shape == (B, N + 1, 13)
         np.testing.assert_allclose(xs_kernel, xs_ref, rtol=2e-4, atol=2e-4)
 
+    def test_tiles_layout_matches_jnp_reference(self):
+        """Full-tile layout (group*128 scenarios per grid step, MLP as
+        SMEM scalar-broadcast FMAs) against the same jnp oracle."""
+        from aircraft_tpu.kernels import make_fused_rollout_tiles
+
+        params = make_params()
+        B, N, dt, ss = 1024, 4, 0.01, 2
+        rng = np.random.default_rng(5)
+        x0 = np.tile(
+            np.asarray(CFG.waypoints.initial_state, np.float32)[None], (B, 1)
+        )
+        x0[:, 3:6] += rng.normal(0, 1, (B, 3)).astype(np.float32)
+        q = x0[:, 6:10] + 0.05 * rng.normal(0, 1, (B, 4)).astype(np.float32)
+        x0[:, 6:10] = q / np.linalg.norm(q, axis=1, keepdims=True)
+        us = rng.uniform(-1, 1, (B, N, 7)).astype(np.float32)
+        us[:, :, 3:6] = 0.0
+
+        roll = make_fused_rollout_tiles(
+            params, horizon=N, dt=dt, substeps=ss, interpret=True
+        )
+        xs_kernel = np.asarray(roll(jnp.asarray(x0), jnp.asarray(us)))
+
+        step = integrators.make_step_fn(params, substeps=ss, normalize="step")
+        xs_ref = np.asarray(
+            batch_rollout(step, jnp.asarray(x0), jnp.asarray(us), dt)
+        )
+        assert xs_kernel.shape == xs_ref.shape == (B, N + 1, 13)
+        np.testing.assert_allclose(xs_kernel, xs_ref, rtol=2e-4, atol=2e-4)
+
     def test_batch_tiling(self):
         params = make_params()
         B, N = 256, 3
