@@ -274,6 +274,10 @@ def solve_impl(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
 
     def linearize(xs, us):
         def jac(x, u, idx):
+            # two separate jacfwds, NOT one jacfwd over [x; u]: measured
+            # (BENCH_MODE=phase) the fused form is a wash on TPU and ~1.7×
+            # slower on CPU — XLA already CSEs the shared primal, and the
+            # concatenate defeats the per-argument tangent batching
             A = jax.jacfwd(lambda xx: ocp.step(xx, u, idx))(x)
             B = jax.jacfwd(lambda uu: ocp.step(x, uu, idx))(u)
             return A, B

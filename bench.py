@@ -145,28 +145,9 @@ def bench_chol():
     }))
 
 
-def main():
-    if os.environ.get("BENCH_MODE") == "kernel":
-        bench_kernel()
-        return
-    if os.environ.get("BENCH_MODE") == "chol":
-        bench_chol()
-        return
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ["JAX_COMPILATION_CACHE_DIR"])
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-    if os.environ.get("BENCH_PALLAS_CHOL"):
-        # route the Riccati sweep's per-knot PD solves through the Pallas
-        # lanes kernel (kernels/cholesky_kernel.py) via the custom_vmap
-        # fast path
-        from aircraft_tpu.solvers import riccati as _riccati
-
-        _riccati.enable_pallas_chol(True)
-
+def _build_problem():
+    """Shared problem setup: the N=50 MHTT window OCP on the reference
+    glider course with the NN surrogate (same construction as main())."""
     cfg = glider_config()
     mlp_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "data", "networks", "mlp.npz")
@@ -197,6 +178,178 @@ def main():
         # A/B escape: drop the least-squares decomposition so the
         # Gauss-Newton quadraticizer falls back to full scalar Hessians
         ocp = ocp.replace(stage_residuals=None, stage_rest=None)
+    return cfg, params, ocp
+
+
+def _bench_initial_states(cfg, batch):
+    x0 = jnp.concatenate(
+        [jnp.asarray(cfg.waypoints.initial_state, dtype=jnp.float32),
+         jnp.zeros(1, dtype=jnp.float32)]
+    )
+    key = jax.random.PRNGKey(42)
+    noise = 0.01 * jax.random.normal(key, (batch, 14))
+    noise = noise.at[:, 13].set(0.0)
+    return jnp.tile(x0[None], (batch, 1)) + noise
+
+
+def bench_phase():
+    """BENCH_MODE=phase: wall-clock decomposition of ONE inner iLQR
+    iteration on the bench problem — initial rollout, linearization
+    (A_k, B_k), Gauss-Newton quadraticization, Riccati backward sweep,
+    12-candidate line-search forward pass — each as its own jitted
+    program over the full scenario batch.  Tells us which phase the next
+    Pallas kernel should target (role of the reference's per-function
+    IPOPT timer dump, SURVEY §5.1 / todo.md nlp_hess_l table)."""
+    from aircraft_tpu.solvers import ocp as ocp_mod
+    from aircraft_tpu.solvers.ilqr import (
+        _backward_pass,
+        _forward_pass,
+        _quadraticize_gn,
+    )
+
+    cfg, params, ocp = _build_problem()
+    B, N = BATCH, N_HORIZON
+    x0s = _bench_initial_states(cfg, B)
+    us0 = jnp.zeros((B, N, 7), dtype=jnp.float32)
+    ks = jnp.arange(N)
+
+    def init_roll(x0, us):
+        def body(x, inp):
+            u, k = inp
+            x_next = ocp.step(x, u, k)
+            ok = jnp.all(jnp.isfinite(x_next)) & (jnp.max(jnp.abs(x_next)) < 1e6)
+            x_next = jnp.where(ok, x_next, x)
+            return x_next, x_next
+
+        _, tail = jax.lax.scan(body, x0, (us, ks))
+        return jnp.concatenate([x0[None], tail], axis=0)
+
+    n = 14
+
+    def lin(xs, us):
+        # two-jacfwd form (what solvers/ilqr.py uses — see its comment)
+        def jac(x, u, k):
+            A = jax.jacfwd(lambda xx: ocp.step(xx, u, k))(x)
+            Bm = jax.jacfwd(lambda uu: ocp.step(x, uu, k))(u)
+            return A, Bm
+
+        return jax.vmap(jac)(xs[:-1], us, ks)
+
+    def lin_fused(xs, us):
+        # one jacfwd over [x; u] — kept for the A/B record: wash on TPU,
+        # ~1.7× slower on CPU than the split form
+        def jac(x, u, k):
+            J = jax.jacfwd(lambda z: ocp.step(z[:n], z[n:], k))(
+                jnp.concatenate([x, u])
+            )
+            return J[:, :n], J[:, n:]
+
+        return jax.vmap(jac)(xs[:-1], us, ks)
+
+    use_res = os.environ.get("BENCH_NO_RESIDUAL") is None and \
+        jax.default_backend() != "tpu"
+    quad_one = lambda al, xs, us: _quadraticize_gn(
+        ocp, al, xs, us, use_residuals=use_res
+    )
+    alphas = jnp.concatenate(
+        [jnp.logspace(0.0, -10.0, 11, base=2.0), jnp.zeros((1,))]
+    ).astype(jnp.float32)
+
+    roll_f = jax.jit(jax.vmap(init_roll))
+    lin_f = jax.jit(jax.vmap(lin))
+    lin_fused_f = jax.jit(jax.vmap(lin_fused))
+    quad_f = jax.jit(jax.vmap(quad_one))
+    back_f = jax.jit(
+        jax.vmap(
+            lambda A, Bm, lx, lu, lxx, luu, lux, vx, vxx: _backward_pass(
+                A, Bm, lx, lu, lxx, luu, lux, vx, vxx,
+                jnp.asarray(1e-6, jnp.float32),
+            )
+        )
+    )
+    fwd_f = jax.jit(
+        jax.vmap(
+            lambda al, xs, us, K, kff: _forward_pass(
+                ocp, al, xs, us, K, kff, alphas
+            )
+        )
+    )
+
+    # stage the data flow once
+    xs = roll_f(x0s, us0)
+    al0 = jax.vmap(
+        lambda x, u: ocp_mod.init_al_state(ocp, x, u, N)
+    )(x0s, us0[:, 0])
+    A, Bm = lin_f(xs, us0)
+    lx, lu, lxx, luu, lux, vx, vxx = quad_f(al0, xs, us0)
+    K, kff, dv1, dv2, qu_max, fail = back_f(
+        A, Bm, lx, lu, lxx, luu, lux, vx, vxx
+    )
+    K = jnp.clip(K, -50.0, 50.0)
+    kff = jnp.clip(kff, -50.0, 50.0)
+
+    def t(fn, *args):
+        jax.block_until_ready(fn(*args))  # compile
+        walls = []
+        for _ in range(5):
+            t0 = time.time()
+            jax.block_until_ready(fn(*args))
+            walls.append(time.time() - t0)
+        return float(np.median(walls))
+
+    phases = {
+        "rollout_s": t(roll_f, x0s, us0),
+        "linearize_s": t(lin_f, xs, us0),
+        "quadraticize_s": t(quad_f, al0, xs, us0),
+        "backward_s": t(back_f, A, Bm, lx, lu, lxx, luu, lux, vx, vxx),
+        "forward_12alpha_s": t(fwd_f, al0, xs, us0, K, kff),
+    }
+    total = sum(phases.values())
+    extras = {"linearize_fused_s": t(lin_fused_f, xs, us0)}  # A/B, not in total
+    out = {
+        "metric": "ilqr_inner_iteration_phase_split",
+        "value": round(total, 5),
+        "unit": "s/iteration",
+        "vs_baseline": 1.0,
+        "batch": B,
+        "horizon": N,
+        "use_residuals": use_res,
+        "device": str(jax.devices()[0]),
+    }
+    out.update({k: round(v, 5) for k, v in phases.items()})
+    out.update(
+        {k[:-2] + "_frac": round(v / total, 3) for k, v in phases.items()}
+    )
+    out.update({k: round(v, 5) for k, v in extras.items()})
+    print(json.dumps(out))
+
+
+def main():
+    if os.environ.get("BENCH_MODE") == "kernel":
+        bench_kernel()
+        return
+    if os.environ.get("BENCH_MODE") == "chol":
+        bench_chol()
+        return
+    if os.environ.get("BENCH_MODE") == "phase":
+        bench_phase()
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    if os.environ.get("BENCH_PALLAS_CHOL"):
+        # route the Riccati sweep's per-knot PD solves through the Pallas
+        # lanes kernel (kernels/cholesky_kernel.py) via the custom_vmap
+        # fast path
+        from aircraft_tpu.solvers import riccati as _riccati
+
+        _riccati.enable_pallas_chol(True)
+
+    cfg, params, ocp = _build_problem()
 
     solver_cfg = SolverConfig(
         max_al_iters=int(os.environ.get("BENCH_AL", "2")),
@@ -205,14 +358,7 @@ def main():
         hessian="gauss_newton",
     )
 
-    x0 = jnp.concatenate(
-        [jnp.asarray(cfg.waypoints.initial_state, dtype=jnp.float32),
-         jnp.zeros(1, dtype=jnp.float32)]
-    )
-    key = jax.random.PRNGKey(42)
-    noise = 0.01 * jax.random.normal(key, (BATCH, 14))
-    noise = noise.at[:, 13].set(0.0)
-    x0s = jnp.tile(x0[None], (BATCH, 1)) + noise
+    x0s = _bench_initial_states(cfg, BATCH)
     us0 = jnp.zeros((BATCH, N_HORIZON, 7), dtype=jnp.float32)
 
     solve = jax.jit(
