@@ -269,6 +269,20 @@ class SolverConfig:
     penalty_max: float = 1e8
     reg_init: float = 1e-6
     reg_max: float = 1e8
+    # trust-region adaptation factors: reg *= escalate on a rejected step,
+    # reg /= relax on an accepted one.  In a FIXED-trip-count inner loop a
+    # rejection streak burns whole iterations relinearising an unchanged
+    # iterate, so escalation must be steep enough to re-damp in one or two
+    # steps: at x10 the MHTT window solve wastes 4-5 iterations per streak
+    # (iterations 5-8 of an 8-iteration budget change NOTHING), while x100
+    # reaches a better point in 6 iterations than x10 reaches in 12
+    # (mean window cost 709 vs 783; see STATUS.md iteration study).
+    # The tracking-window solvers (control/mhtt.py, bench.py) pass 100
+    # explicitly; the global default stays 10 because the waypoint
+    # complementarity and progress-time formulations are tuned to it
+    # (their switching structure is sensitive to the solve path).
+    reg_escalate: float = 10.0
+    reg_relax: float = 5.0
     line_search_steps: int = 12
     rollout_substeps: int = 1
     # cap on feedback/feedforward gain magnitudes — diverged linearisation

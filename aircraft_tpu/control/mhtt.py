@@ -263,7 +263,8 @@ class MHTT:
         # MPC windows favour the Gauss-Newton Hessian: PSD curvature and a
         # much smaller compiled program (no complementarity terms here)
         self.solver_config = solver_config or SolverConfig(
-            max_al_iters=2, max_inner_iters=12, hessian="gauss_newton"
+            max_al_iters=2, max_inner_iters=12, hessian="gauss_newton",
+            reg_escalate=100.0,
         )
         self.ocp = build_mhtt_ocp(
             params, config, track.track_points, track.length(), dt=dt,

@@ -332,8 +332,8 @@ def solve_impl(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
         # trust-region-style regularisation adaptation
         reg_new = jnp.where(
             fail | ~improved,
-            jnp.minimum(reg * 10.0, config.reg_max),
-            jnp.maximum(reg / 5.0, config.reg_init),
+            jnp.minimum(reg * config.reg_escalate, config.reg_max),
+            jnp.maximum(reg / config.reg_relax, config.reg_init),
         )
 
         accept = improved & ~done
