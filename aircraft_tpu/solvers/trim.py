@@ -163,3 +163,84 @@ def stability_eigenvalues(params: AircraftParams, state, control):
     Eigendecomposition runs host-side (tiny, not a device op)."""
     A, _ = continuous_jacobians(params, state, control)
     return np.linalg.eigvals(np.asarray(A, dtype=np.float64))
+
+
+def discrete_jacobians(params: AircraftParams, state, control, dt,
+                       substeps: int = 1):
+    """A_d = ∂F/∂x, B_d = ∂F/∂u of the RK4 step map F(x, u, dt)
+    (reference main/stability/stability.py:50-55 takes the same Jacobian of
+    `state_update`).  Broadcasts over leading batch axes under vmap."""
+    from aircraft_tpu.solvers import integrators
+
+    step = partial(integrators.step, params, substeps=substeps)
+    A = jax.jacfwd(lambda x: step(x, control, dt))(state)
+    B = jax.jacfwd(lambda u: step(state, u, dt))(control)
+    return A, B
+
+
+class DiscreteStabilityReport(NamedTuple):
+    """Spectral analysis of the discrete step map around an operating point
+    (reference main/stability/stability.py:62-116, recomputed per
+    perturbation there in a Python loop; one vmapped program here)."""
+
+    eigenvalues: np.ndarray        # (n_perturb, 13) complex
+    spectral_radius: np.ndarray    # (n_perturb,) max |eig| per perturbed point
+    condition_numbers: np.ndarray  # (n_perturb,) cond(A_d) per perturbed point
+    dt_sweep: np.ndarray           # (n_dt,) timesteps of the dt sweep
+    dt_spectral_radius: np.ndarray # (n_dt,) max |eig| at the nominal point
+
+
+def discrete_stability_analysis(
+    params: AircraftParams,
+    state,
+    control,
+    dt: float = 0.01,
+    n_perturb: int = 25,
+    state_delta: float = 0.1,
+    quat_delta: float = 0.01,
+    dt_sweep=None,
+    seed: int = 0,
+) -> DiscreteStabilityReport:
+    """Eigenvalue / condition-number study of the discrete dynamics under a
+    cloud of state perturbations plus a log-spaced dt sweep.
+
+    The reference evaluates the CasADi Jacobian in a double Python loop over
+    perturbations (stability.py:66-83) and again over timesteps (:139-148);
+    here both clouds are vmapped so the whole study is two XLA launches,
+    with only the eigendecompositions host-side (13×13, not a device op).
+    """
+    from aircraft_tpu.utils import perturb_quaternion
+
+    rng = np.random.default_rng(seed)
+    state = np.asarray(state, dtype=np.float32)
+    control = jnp.asarray(control)
+
+    deltas = np.linspace(-state_delta, state_delta, n_perturb)
+    cloud = np.repeat(state[None], n_perturb, axis=0)
+    cloud += deltas[:, None]
+    for i in range(n_perturb):
+        cloud[i, 6:10] = perturb_quaternion(state[6:10], quat_delta, rng=rng)
+    cloud_j = jnp.asarray(cloud)
+
+    A_cloud, _ = jax.vmap(
+        lambda x: discrete_jacobians(params, x, control, dt))(cloud_j)
+    A_cloud = np.asarray(A_cloud, dtype=np.float64)
+    eigs = np.linalg.eigvals(A_cloud)
+    cond = np.linalg.cond(A_cloud)
+
+    if dt_sweep is None:
+        dt_sweep = np.logspace(-4, 0, 20)
+    dts_j = jnp.asarray(dt_sweep, dtype=jnp.float32)
+    x0 = jnp.asarray(state)
+    A_dts, _ = jax.vmap(
+        lambda d: discrete_jacobians(params, x0, control, d))(dts_j)
+    dt_radius = np.abs(
+        np.linalg.eigvals(np.asarray(A_dts, dtype=np.float64))).max(axis=-1)
+
+    return DiscreteStabilityReport(
+        eigenvalues=eigs,
+        spectral_radius=np.abs(eigs).max(axis=-1),
+        condition_numbers=cond,
+        dt_sweep=np.asarray(dt_sweep),
+        dt_spectral_radius=dt_radius,
+    )

@@ -63,3 +63,46 @@ class TestStability:
         assert A.shape == (13, 13) and B.shape == (13, 10)
         assert np.all(np.isfinite(np.asarray(A)))
         assert np.all(np.isfinite(np.asarray(B)))
+
+
+class TestDiscreteStability:
+    """Discrete step-map spectral analysis
+    (reference main/stability/stability.py:47-148)."""
+
+    def test_discrete_jacobian_consistent_with_continuous(self):
+        """For small dt, A_d ~ I + dt*A_c (first-order agreement)."""
+        params = make_params()
+        x = jnp.asarray(
+            np.array([0, 0, -200, 50, 0, 0, 0, 0, 0, 1, 0, 0, 0], np.float32))
+        u = jnp.zeros(10, jnp.float32)
+        dt = 1e-4
+        A_d, B_d = trim_mod.discrete_jacobians(params, x, u, dt)
+        A_c, B_c = trim_mod.continuous_jacobians(params, x, u)
+        # atol 5e-4: the residual is the O(dt^2 |A|^2) RK4 term
+        np.testing.assert_allclose(
+            np.asarray(A_d), np.eye(13) + dt * np.asarray(A_c),
+            atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(B_d), dt * np.asarray(B_c), atol=5e-4)
+
+    def test_perturbation_study(self):
+        """Spectral radii stay near 1 for dt=0.01 at flyable speed, and the
+        dt sweep shows instability growing with timestep (the reference's
+        max-eigenvalue-vs-dt panel, stability.py:139-148)."""
+        params = make_params()
+        x = np.array([0, 0, -200, 50, 0, 0, 0, 0, 0, 1, 0, 0, 0], np.float32)
+        u = np.zeros(10, np.float32)
+        report = trim_mod.discrete_stability_analysis(
+            params, x, u, dt=0.01, n_perturb=9)
+        assert report.eigenvalues.shape == (9, 13)
+        assert np.all(np.isfinite(report.spectral_radius))
+        assert np.all(np.isfinite(report.condition_numbers))
+        # near-unit spectral radius at dt=0.01 (unstable plant, but slowly:
+        # modes grow a few percent per step at most)
+        assert np.all(report.spectral_radius < 1.5)
+        assert np.all(report.spectral_radius > 0.5)
+        # dt sweep: monotone-ish growth of instability with timestep —
+        # largest dt must be worse than smallest
+        assert report.dt_spectral_radius[-1] > report.dt_spectral_radius[0]
+        # tiny dt: step map approaches identity
+        np.testing.assert_allclose(report.dt_spectral_radius[0], 1.0, atol=0.05)
