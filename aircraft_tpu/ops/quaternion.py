@@ -30,6 +30,7 @@ __all__ = [
     "to_rotation_matrix",
     "from_axis_angle",
     "expmap",
+    "logmap",
     "integrate_expmap",
     "derivative",
     "to_euler",
@@ -144,6 +145,27 @@ def expmap(phi: jax.Array) -> jax.Array:
     small = theta_sq < 1e-12
     k = jnp.where(small, 0.5 - theta_sq / 48.0, jnp.sin(half) / theta)
     return jnp.concatenate([k * phi, jnp.cos(half)], axis=-1)
+
+
+def logmap(q: jax.Array) -> jax.Array:
+    """Log map S3 -> so(3): the rotation vector of q (inverse of `expmap`).
+
+    Sign-canonicalised to the shortest rotation (angle in [0, pi]) and
+    Taylor-safe near the identity, so it is differentiable everywhere —
+    the tangent-space chart used by the error-state LQR and trim solvers.
+    """
+    q = q * jnp.sign(jnp.where(q[..., 3:4] == 0.0, 1.0, q[..., 3:4]))
+    vec = q[..., :3]
+    w = q[..., 3:4]
+    n_sq = jnp.sum(vec * vec, axis=-1, keepdims=True)
+    n = jnp.sqrt(n_sq + 1e-24)
+    theta = 2.0 * jnp.arctan2(n, w)
+    # theta / n, series-expanded for small n: 2/w * (1 - n^2/(3 w^2) + ...)
+    small = n_sq < 1e-12
+    w_safe = jnp.maximum(w, 1e-6)
+    k = jnp.where(small, 2.0 / w_safe * (1.0 - n_sq / (3.0 * w_safe * w_safe)),
+                  theta / n)
+    return k * vec
 
 
 def integrate_expmap(q: jax.Array, omega_body: jax.Array, dt) -> jax.Array:
