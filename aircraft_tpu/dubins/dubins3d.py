@@ -127,3 +127,85 @@ def straight_line_fallback(qi, qf, n: int = 64) -> np.ndarray:
     cfg[:, 3] = psi
     cfg[:, 4] = gamma
     return cfg
+
+
+# ---------------------------------------------------------------------------
+# length bounds (reference dubins3d.py:154-230: getLowerBound/getUpperBound)
+# ---------------------------------------------------------------------------
+
+
+def lower_bound(
+    qi,
+    qf,
+    rho: float,
+    pitch_limits: tuple[float, float] = (-np.pi / 4, np.pi / 2),
+) -> float:
+    """Lower bound on the 3D maneuver length: relax the lateral plane to the
+    tighter spiral radius rho*cos(max pitch)^2 (a turn flown at full pitch
+    projects onto a smaller horizontal circle) and fly the vertical plane at
+    the full curvature budget rho — each plane individually optimistic, so
+    the composition cannot exceed the true optimum
+    (reference dubins3d.py:154-188).  Returns 0.0 when the vertical profile
+    is infeasible (the reference's degenerate-case answer)."""
+    qi = np.asarray(qi, dtype=float)
+    qf = np.asarray(qf, dtype=float)
+    spiral_radius = rho * np.cos(max(-pitch_limits[0], pitch_limits[1])) ** 2
+
+    lateral = shortest_path(qi[[0, 1, 3]], qf[[0, 1, 3]], spiral_radius)
+    if lateral is None:
+        return 0.0
+    vertical = shortest_path(
+        np.array([0.0, qi[2], qi[4]]),
+        np.array([lateral.length, qf[2], qf[4]]),
+        rho,
+    )
+    if vertical is None:
+        return 0.0
+    samples = vertical.sample_many(64)
+    gammas = np.arctan2(
+        np.diff(samples[:, 1]), np.maximum(np.diff(samples[:, 0]), 1e-9)
+    )
+    if np.any(gammas < pitch_limits[0] - 1e-3) or np.any(
+            gammas > pitch_limits[1] + 1e-3):
+        return 0.0
+    return float(vertical.length)
+
+
+def upper_bound(
+    qi,
+    qf,
+    rho: float,
+    pitch_limits: tuple[float, float] = (-np.pi / 4, np.pi / 2),
+) -> float:
+    """Upper bound on the 3D maneuver length: fly BOTH planes at the
+    conservative safe radius sqrt(2)*rho, which always leaves each plane
+    enough curvature budget (1/(sqrt2 rho)^2 + 1/(sqrt2 rho)^2 = 1/rho^2) —
+    any feasible decoupled construction at that radius is achievable, so its
+    length bounds the optimum from above (reference dubins3d.py:190-230).
+    Returns inf when endpoints are too close for the safe-radius
+    construction or the vertical profile is infeasible."""
+    qi = np.asarray(qi, dtype=float)
+    qf = np.asarray(qf, dtype=float)
+    safe_radius = np.sqrt(2.0) * rho
+
+    if np.hypot(qf[0] - qi[0], qf[1] - qi[1]) < 4.0 * safe_radius:
+        return float("inf")
+
+    lateral = shortest_path(qi[[0, 1, 3]], qf[[0, 1, 3]], safe_radius)
+    if lateral is None:
+        return float("inf")
+    vertical = shortest_path(
+        np.array([0.0, qi[2], qi[4]]),
+        np.array([lateral.length, qf[2], qf[4]]),
+        safe_radius,
+    )
+    if vertical is None:
+        return float("inf")
+    samples = vertical.sample_many(64)
+    gammas = np.arctan2(
+        np.diff(samples[:, 1]), np.maximum(np.diff(samples[:, 0]), 1e-9)
+    )
+    if np.any(gammas < pitch_limits[0] - 1e-3) or np.any(
+            gammas > pitch_limits[1] + 1e-3):
+        return float("inf")
+    return float(vertical.length)

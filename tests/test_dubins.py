@@ -136,3 +136,49 @@ class TestInitialiser:
         # speed near default velocity
         speeds = np.linalg.norm(guess[:, 3:6], axis=1)
         np.testing.assert_allclose(speeds, init.speed, rtol=1e-3)
+
+
+class TestDubins3DBounds:
+    """Length-bound estimates (reference dubins3d.py:154-230)."""
+
+    def test_bounds_bracket_constructed_maneuver(self):
+        from aircraft_tpu.dubins.dubins3d import lower_bound, upper_bound
+
+        rng = np.random.default_rng(11)
+        pitch = (-np.deg2rad(20.0), np.deg2rad(20.0))
+        rho = 40.0
+        checked = 0
+        for _ in range(20):
+            qi = np.array([0, 0, 0, rng.uniform(-np.pi, np.pi), 0.0])
+            qf = np.array([rng.uniform(300, 900), rng.uniform(-400, 400),
+                           rng.uniform(-60, 60),
+                           rng.uniform(-np.pi, np.pi), 0.0])
+            m = maneuver3d(qi, qf, rho, pitch)
+            if m is None:
+                continue
+            lb = lower_bound(qi, qf, rho, pitch)
+            ub = upper_bound(qi, qf, rho, pitch)
+            # small tolerance: bounds and maneuver use finite samplings
+            assert lb <= m.length * 1.01 + 1e-6, (lb, m.length)
+            if np.isfinite(ub):
+                assert ub * 1.01 + 1e-6 >= m.length, (ub, m.length)
+                assert ub >= lb
+            checked += 1
+        assert checked >= 10
+
+    def test_upper_bound_inf_when_too_close(self):
+        from aircraft_tpu.dubins.dubins3d import upper_bound
+
+        qi = np.array([0, 0, 0, 0, 0.0])
+        qf = np.array([10.0, 0, 0, 0, 0.0])  # within 4*sqrt(2)*rho
+        assert upper_bound(qi, qf, rho=40.0) == float("inf")
+
+    def test_lower_bound_at_most_straight_distance_plus_turns(self):
+        """For a long straight-ahead transfer the lower bound approaches the
+        Euclidean distance."""
+        from aircraft_tpu.dubins.dubins3d import lower_bound
+
+        qi = np.array([0, 0, 0, 0, 0.0])
+        qf = np.array([2000.0, 0, 0, 0, 0.0])
+        lb = lower_bound(qi, qf, rho=40.0)
+        assert 1999.0 <= lb <= 2010.0, lb
