@@ -334,6 +334,74 @@ def _apply_mlp(cp: MLPCoeffParams, aero: AeroState, aileron, elevator, rudder):
 # ---------------------------------------------------------------------------
 
 
+
+# ---------------------------------------------------------------------------
+# taylor — first-order anchor-point approximation of another model
+# (reference RealTimeL4CasADi, coefficient_models.py:93-104: embeds the NN
+# as a first-order Taylor expansion refreshed around the current operating
+# point instead of the full network)
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class TaylorCoeffParams:
+    """Affine surrogate C(x) ~= value + J (x - anchor) of a differentiable
+    coefficient model around an anchor input.
+
+    The reference's real-time mode exists because evaluating libtorch inside
+    every IPOPT iteration is expensive; here the MLP traces into XLA anyway,
+    but the affine form still (a) removes the MLP's nonlinearity from the
+    window program (smaller, faster compile) and (b) reproduces the
+    reference's formulation for parity runs.  Re-anchoring is `from_model`
+    under jit — a pure function of the carried warm-start state, so an MPC
+    loop can refresh it every window at negligible cost.
+    """
+
+    anchor: jax.Array    # (5,) [qbar, alpha, beta, da, de]
+    value: jax.Array     # (6,) model output at the anchor
+    jac: jax.Array       # (6, 5) model Jacobian at the anchor
+    Cn_rudder: float = -0.1
+
+    @classmethod
+    def from_model(cls, cp, anchor) -> "TaylorCoeffParams":
+        """Anchor around `anchor` inputs; `cp` is any coefficient params
+        whose raw forward is registered in `raw_forward`."""
+        anchor = jnp.asarray(anchor)
+        f = lambda x: raw_forward(cp, x)
+        return cls(
+            anchor=anchor,
+            value=f(anchor),
+            jac=jax.jacfwd(f)(anchor),
+            Cn_rudder=getattr(cp, "Cn_rudder", -0.1),
+        )
+
+
+def _taylor_eval(cp: TaylorCoeffParams, x: jax.Array) -> jax.Array:
+    return cp.value + (x - cp.anchor) @ cp.jac.T
+
+
+def _apply_taylor(cp: TaylorCoeffParams, aero: AeroState, aileron, elevator, rudder):
+    out = _taylor_eval(cp, model_inputs(aero, aileron, elevator))
+    return out.at[..., 5].add(cp.Cn_rudder * 6.0 * rudder * DEG2RAD)
+
+
+@singledispatch
+def raw_forward(cp: Any, x: jax.Array) -> jax.Array:
+    """Raw (..., 5) -> (..., 6) forward of a coefficient model on explicit
+    inputs (no per-surface corrections) — the function the Taylor mode
+    linearises."""
+    raise TypeError(f"No raw forward registered for: {type(cp)}")
+
+
+raw_forward.register(MLPCoeffParams, mlp_forward)
+raw_forward.register(MiniMLPCoeffParams, mini_mlp_forward)
+raw_forward.register(PolyCoeffParams, _poly_eval)
+raw_forward.register(
+    LinearCoeffParams,
+    lambda cp, x: jnp.concatenate([x, jnp.ones_like(x[..., :1])], axis=-1) @ cp.matrix.T,
+)
+
+
 @singledispatch
 def apply_coefficients(cp: Any, aero: AeroState, aileron, elevator, rudder) -> jax.Array:
     raise TypeError(f"Unknown coefficient params type: {type(cp)}")
@@ -344,6 +412,7 @@ apply_coefficients.register(LinearCoeffParams, _apply_linear)
 apply_coefficients.register(PolyCoeffParams, _apply_poly)
 apply_coefficients.register(MLPCoeffParams, _apply_mlp)
 apply_coefficients.register(MiniMLPCoeffParams, _apply_mini_mlp)
+apply_coefficients.register(TaylorCoeffParams, _apply_taylor)
 
 
 COEFF_MODEL_REGISTRY = {
@@ -352,6 +421,7 @@ COEFF_MODEL_REGISTRY = {
     "poly": PolyCoeffParams,
     "nn": MLPCoeffParams,
     "nn_mini": MiniMLPCoeffParams,
+    "nn_taylor": TaylorCoeffParams,
 }
 
 

@@ -112,3 +112,90 @@ class TestReferenceCheckpoint:
         h = h @ sd["core_layers.3.weight"].T + sd["core_layers.3.bias"]
         expected = (h * ckpt["output_std"] + ckpt["output_mean"]).numpy()
         np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
+class TestTaylorModel:
+    """First-order Taylor surrogate mode
+    (reference RealTimeL4CasADi, coefficient_models.py:93-104)."""
+
+    def _mlp_and_anchor(self):
+        import jax
+
+        from aircraft_tpu.dynamics.coefficients import (
+            MLPCoeffParams, TaylorCoeffParams)
+
+        mlp = MLPCoeffParams.init(jax.random.PRNGKey(2))
+        anchor = jnp.asarray([1530.0, 0.05, 0.0, 0.0, 0.0])
+        return mlp, TaylorCoeffParams.from_model(mlp, anchor), anchor
+
+    def test_exact_at_anchor_first_order_nearby(self):
+        from aircraft_tpu.dynamics.coefficients import (
+            _taylor_eval, mlp_forward)
+
+        mlp, taylor, anchor = self._mlp_and_anchor()
+        np.testing.assert_allclose(
+            np.asarray(_taylor_eval(taylor, anchor)),
+            np.asarray(mlp_forward(mlp, anchor)), atol=1e-5)
+
+        # quadratic error decay: err(2d) / err(d) ~ 4.  The direction is
+        # scaled to each input's physical range so the step actually moves
+        # the network out of its linear regime.
+        rng = np.random.default_rng(0)
+        ranges = jnp.asarray([500.0, 0.2, 0.2, 3.0, 3.0])
+        direction = jnp.asarray(rng.normal(0, 1, 5).astype(np.float32)) * ranges
+        errs = []
+        for scale in (0.5, 1.0):
+            x = anchor + scale * direction
+            errs.append(float(jnp.max(jnp.abs(
+                _taylor_eval(taylor, x) - mlp_forward(mlp, x)))))
+        assert errs[1] / max(errs[0], 1e-12) > 2.0  # superlinear growth
+
+    def test_plugs_into_plant(self):
+        import jax
+
+        from aircraft_tpu.config import glider_config
+        from aircraft_tpu.dynamics import aircraft as ac
+        from aircraft_tpu.dynamics.aircraft import AircraftParams
+
+        from aircraft_tpu.dynamics.coefficients import (
+            TaylorCoeffParams, model_inputs)
+
+        mlp, _, _ = self._mlp_and_anchor()
+        cfg = glider_config()
+        p_nn = AircraftParams.from_config(cfg.aircraft, coeff=mlp)
+        x = jnp.asarray([0, 0, -200, 50, 0, 0, 0, 0, 0, 1, 0, 0, 0],
+                        jnp.float32)
+        u = jnp.zeros(7, jnp.float32)
+        # anchor at THIS operating point's model inputs (what an MPC loop
+        # does between windows)
+        aero = ac.aero_state(p_nn, x, u)
+        anchor = model_inputs(aero, u[0], u[1])
+        taylor = TaylorCoeffParams.from_model(mlp, anchor)
+        p_ta = AircraftParams.from_config(cfg.aircraft, coeff=taylor)
+        d_nn = np.asarray(ac.state_derivative(p_nn, x, u))
+        d_ta = np.asarray(ac.state_derivative(p_ta, x, u))
+        np.testing.assert_allclose(d_ta, d_nn, rtol=1e-4, atol=1e-3)
+
+    def test_reanchor_under_jit(self):
+        import jax
+
+        from aircraft_tpu.dynamics.coefficients import (
+            TaylorCoeffParams, _taylor_eval, mlp_forward)
+
+        mlp, _, _ = self._mlp_and_anchor()
+
+        @jax.jit
+        def reanchor(x):
+            return TaylorCoeffParams.from_model(mlp, x)
+
+        x2 = jnp.asarray([800.0, -0.1, 0.05, 1.0, -1.0])
+        t2 = reanchor(x2)
+        np.testing.assert_allclose(
+            np.asarray(_taylor_eval(t2, x2)),
+            np.asarray(mlp_forward(mlp, x2)), atol=1e-5)
+
+    def test_registry_roundtrip(self):
+        from aircraft_tpu.dynamics.coefficients import (
+            COEFF_MODEL_REGISTRY, TaylorCoeffParams)
+
+        assert COEFF_MODEL_REGISTRY["nn_taylor"] is TaylorCoeffParams
