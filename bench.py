@@ -164,6 +164,21 @@ def _build_problem():
             output_mean=jnp.asarray([-0.05, 0.0, -0.4, 0.0, 0.0, 0.0]),
             output_std=jnp.asarray([0.05, 0.05, 0.3, 0.03, 0.1, 0.01]),
         )
+    if os.environ.get("BENCH_COEFF") == "taylor":
+        # the reference's own real-time MPC mode (RealTimeL4CasADi,
+        # coefficient_models.py:93-104): the NN enters the window solve as
+        # a first-order expansion around the operating point.  Anchor at
+        # the course entry state's flow inputs.
+        from aircraft_tpu.dynamics import aircraft as ac_mod
+        from aircraft_tpu.dynamics.coefficients import (TaylorCoeffParams,
+                                                        model_inputs)
+
+        p_full = AircraftParams.from_config(cfg.aircraft, coeff=coeff)
+        x_entry = jnp.asarray(cfg.waypoints.initial_state, dtype=jnp.float32)
+        u_zero = jnp.zeros(7, dtype=jnp.float32)
+        aero = ac_mod.aero_state(p_full, x_entry, u_zero)
+        coeff = TaylorCoeffParams.from_model(
+            coeff, model_inputs(aero, u_zero[0], u_zero[1]))
     params = AircraftParams.from_config(cfg.aircraft, coeff=coeff)
 
     track = DubinsInitialiser(cfg)
