@@ -45,6 +45,36 @@ class DubinsManeuver3D:
         return np.stack([self.sample(s) for s in np.linspace(0.0, self.length, n)])
 
 
+def _pitch_feasible(vertical: DubinsPath,
+                    pitch_limits: tuple[float, float]) -> bool:
+    """EXACT pitch-envelope check for a vertical-plane Dubins profile.
+
+    The heading (= climb angle gamma) of a Dubins path is monotone within
+    each segment (linear in arc length on arcs, constant on straights), so
+    its extremes over the whole path occur at segment boundaries — checking
+    the 4 boundary angles is exact, unlike the reference's construction-time
+    handling (Vertical) or any finite sampling (which can certify a path
+    whose pitch leaves the envelope between samples).  The UNWRAPPED
+    cumulative heading is the physical pitch.  Feasibility also requires
+    |gamma| <= pi/2 everywhere so the horizontal abscissa s is monotone
+    (ds = cos(gamma) ds_path >= 0) and the lateral/vertical composition
+    stays valid."""
+    lo, hi = pitch_limits
+    gamma = float(vertical.qi[2])
+    gammas = [gamma]
+    for seg_type, seg_len in zip(vertical.word, vertical.params):
+        if seg_type == "L":
+            gamma += float(seg_len)
+        elif seg_type == "R":
+            gamma -= float(seg_len)
+        gammas.append(gamma)
+    tol = 1e-9
+    return all(
+        (lo - tol <= g <= hi + tol) and (abs(g) <= np.pi / 2 + tol)
+        for g in gammas
+    )
+
+
 def _try_maneuver(
     qi: np.ndarray,
     qf: np.ndarray,
@@ -72,15 +102,10 @@ def _try_maneuver(
     if vertical is None:
         return None
 
-    # reject profiles whose climb angle leaves the envelope, or that fold
-    # back in s (would make the lateral composition non-monotonic)
-    samples = vertical.sample_many(64)
-    gammas = np.arctan2(
-        np.diff(samples[:, 1]), np.maximum(np.diff(samples[:, 0]), 1e-9)
-    )
-    if np.any(np.diff(samples[:, 0]) < -1e-6):
-        return None
-    if np.any(gammas < pitch_limits[0] - 1e-3) or np.any(gammas > pitch_limits[1] + 1e-3):
+    # reject profiles whose climb angle leaves the envelope (exact
+    # segment-boundary check; also guarantees the abscissa is monotone,
+    # keeping the lateral composition valid)
+    if not _pitch_feasible(vertical, pitch_limits):
         return None
 
     return DubinsManeuver3D(
@@ -161,12 +186,7 @@ def lower_bound(
     )
     if vertical is None:
         return 0.0
-    samples = vertical.sample_many(64)
-    gammas = np.arctan2(
-        np.diff(samples[:, 1]), np.maximum(np.diff(samples[:, 0]), 1e-9)
-    )
-    if np.any(gammas < pitch_limits[0] - 1e-3) or np.any(
-            gammas > pitch_limits[1] + 1e-3):
+    if not _pitch_feasible(vertical, pitch_limits):
         return 0.0
     return float(vertical.length)
 
@@ -201,11 +221,8 @@ def upper_bound(
     )
     if vertical is None:
         return float("inf")
-    samples = vertical.sample_many(64)
-    gammas = np.arctan2(
-        np.diff(samples[:, 1]), np.maximum(np.diff(samples[:, 0]), 1e-9)
-    )
-    if np.any(gammas < pitch_limits[0] - 1e-3) or np.any(
-            gammas > pitch_limits[1] + 1e-3):
+    # the bound is only valid if the certified path is actually flyable:
+    # exact pitch check, no sampling gaps
+    if not _pitch_feasible(vertical, pitch_limits):
         return float("inf")
     return float(vertical.length)

@@ -395,11 +395,16 @@ def raw_forward(cp: Any, x: jax.Array) -> jax.Array:
 
 raw_forward.register(MLPCoeffParams, mlp_forward)
 raw_forward.register(MiniMLPCoeffParams, mini_mlp_forward)
-raw_forward.register(PolyCoeffParams, _poly_eval)
 raw_forward.register(
     LinearCoeffParams,
     lambda cp, x: jnp.concatenate([x, jnp.ones_like(x[..., :1])], axis=-1) @ cp.matrix.T,
 )
+# PolyCoeffParams is deliberately NOT registered: _apply_poly adds
+# per-surface re-evaluations (wing-asymmetry roll, elevator-alpha /
+# rudder-beta moments) on top of _poly_eval, so an affine expansion of the
+# raw forward would silently drop rate-damping physics rather than
+# first-order-approximate the model.  (The reference's real-time mode only
+# ever wraps the NN, coefficient_models.py:93-104.)
 
 
 @singledispatch

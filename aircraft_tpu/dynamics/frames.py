@@ -137,15 +137,27 @@ def fictitious_acceleration(earth: EarthRotationParams, p_ned: jax.Array,
     return coriolis_acceleration(earth, v_ned) + centrifugal_acceleration(earth, p_ned)
 
 
-def with_earth_rotation(derivative_fn, earth: EarthRotationParams):
+def with_earth_rotation(derivative_fn, earth: EarthRotationParams,
+                        include_centrifugal: bool = False):
     """Wrap a `f(params, x, u) -> xdot` plant derivative so its velocity
     block includes the rotating-Earth terms.  Opt-in, exactly like the
-    reference keeps these terms out of its main symbolic plant."""
+    reference keeps these terms out of its main symbolic plant.
+
+    By default only the Coriolis term is added: the plant's gravity
+    constant 9.81 m/s^2 is STANDARD (measured) gravity, which already
+    contains the centrifugal relief — adding -Omega x (Omega x r) on top
+    would subtract it twice (~0.034 cos(lat) m/s^2, the same order as the
+    whole correction).  Pass include_centrifugal=True only when the
+    wrapped plant uses pure gravitation for its gravity vector."""
     from aircraft_tpu.dynamics import base
 
     def wrapped(params, x, u, *args, **kwargs):
         xdot = derivative_fn(params, x, u, *args, **kwargs)
-        a = fictitious_acceleration(earth, x[..., base.POS], x[..., base.VEL])
+        if include_centrifugal:
+            a = fictitious_acceleration(earth, x[..., base.POS],
+                                        x[..., base.VEL])
+        else:
+            a = coriolis_acceleration(earth, x[..., base.VEL])
         return xdot.at[..., base.VEL].add(a)
 
     return wrapped

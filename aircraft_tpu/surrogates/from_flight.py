@@ -67,7 +67,10 @@ def _extract_one(params: AircraftParams, x, u, v_dot, omega_dot, wind):
     J_omega = jnp.einsum("...ij,...j->...i", inertia, omega)
     m_total = jnp.einsum("...ij,...j->...i", inertia, omega_dot) + jnp.cross(
         omega, J_omega)
-    m_aero = m_total - jnp.cross(ac.effective_com(params, u), f_aero)
+    # the forward plant's CoM moment arm acts on the TOTAL body force
+    # including thrust (moments_frd: m_aero + com x forces_frd), so the
+    # inversion must subtract com x f_total, not com x f_aero
+    m_aero = m_total - jnp.cross(ac.effective_com(params, u), f_total)
 
     aero = ac.aero_state(params, x, u, wind)
     denom_f = aero.qbar * params.S
@@ -82,6 +85,16 @@ def _extract_one(params: AircraftParams, x, u, v_dot, omega_dot, wind):
     cf = cf.at[..., 0].multiply(jnp.sign(u_rel))
 
     coeffs = jnp.concatenate([cf, cm], axis=-1)
+
+    # undo the post-hoc rudder yaw correction: every fitted model's apply
+    # function re-adds Cn_rudder*6*rudder*deg2rad at plant-eval time
+    # (coefficients._apply_linear/_apply_poly/_apply_mlp), so the training
+    # target must be the RAW 5-input model output with that term removed —
+    # otherwise the fit absorbs it through correlated inputs and the
+    # plugged-back model double-counts the rudder moment
+    cn_rudder = getattr(params.coeff, "Cn_rudder", -0.1)
+    coeffs = coeffs.at[..., 5].add(
+        -cn_rudder * 6.0 * u[..., ac.RUDDER] * np.deg2rad(1.0))
 
     # undo flap increments
     flaps = u[..., ac.FLAPS]

@@ -121,11 +121,20 @@ class TestEarthRotation:
         plain = ac.state_derivative(params, x, u)
         wrapped = frames.with_earth_rotation(ac.state_derivative, earth)(params, x, u)
         diff = np.asarray(wrapped - plain)
-        expected = np.asarray(
-            frames.fictitious_acceleration(earth, x[base.POS], x[base.VEL]))
+        # default wrapper adds Coriolis only — the plant's 9.81 standard
+        # gravity already contains the centrifugal relief
+        expected = np.asarray(frames.coriolis_acceleration(earth, x[base.VEL]))
         np.testing.assert_allclose(diff[3:6], expected, atol=1e-6)
         np.testing.assert_allclose(diff[:3], 0.0, atol=1e-7)
         np.testing.assert_allclose(diff[6:], 0.0, atol=1e-7)
         # sanity: the correction is small (mm/s^2-to-cm/s^2 scale) so the
         # main plant is right to omit it, matching the reference
         assert np.all(np.abs(expected) < 0.1)
+
+        # opt-in centrifugal path (for gravitation-based gravity vectors)
+        wrapped_cf = frames.with_earth_rotation(
+            ac.state_derivative, earth, include_centrifugal=True)(params, x, u)
+        expected_cf = np.asarray(
+            frames.fictitious_acceleration(earth, x[base.POS], x[base.VEL]))
+        np.testing.assert_allclose(
+            np.asarray(wrapped_cf - plain)[3:6], expected_cf, atol=1e-6)

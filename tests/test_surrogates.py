@@ -199,3 +199,19 @@ class TestTaylorModel:
             COEFF_MODEL_REGISTRY, TaylorCoeffParams)
 
         assert COEFF_MODEL_REGISTRY["nn_taylor"] is TaylorCoeffParams
+
+    def test_poly_anchor_rejected(self):
+        """Anchoring the poly model must fail loudly: _apply_poly adds
+        per-surface corrections an affine expansion would silently drop."""
+        import pytest as _pytest
+
+        from aircraft_tpu.dynamics.coefficients import (PolyCoeffParams,
+                                                        TaylorCoeffParams)
+        from aircraft_tpu.surrogates.models import fit_polynomial
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 1, (64, 5)).astype(np.float32)
+        y = rng.normal(0, 1, (64, 6)).astype(np.float32)
+        poly = fit_polynomial(x, y)
+        with _pytest.raises(TypeError):
+            TaylorCoeffParams.from_model(poly, jnp.zeros(5))
