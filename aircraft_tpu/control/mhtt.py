@@ -331,6 +331,53 @@ class MHTT:
             "progress_history": np.stack(progress_hist),
         }
 
+    def run_batch_scan(
+        self,
+        x0s: jax.Array,            # (B, 13)
+        n_windows: int,
+        *,
+        s0s=None,                  # (B,) initial progress
+    ) -> dict:
+        """Fully on-device receding-horizon chain: `n_windows` MPC windows
+        as ONE `lax.scan`-over-windows program (solve -> commit -> shift-
+        and-hold carry, all traced).  The serving shape for deployment: a
+        single compiled executable advances every scenario by a window per
+        step with zero host involvement — no per-window dispatch, no
+        Python between replans.  `run_batch` (host loop) remains the
+        flexible variant with early stopping and history capture.
+        """
+        B = x0s.shape[0]
+        c = self.commit
+        x = jnp.asarray(x0s, dtype=jnp.float32)
+        s = (jnp.zeros(B, dtype=jnp.float32) if s0s is None
+             else jnp.asarray(s0s, dtype=jnp.float32))
+        us = jnp.zeros((B, self.N, 7), dtype=jnp.float32)
+
+        def window(carry, _):
+            x, s, us = carry
+            z0s = jnp.concatenate([x, s[:, None]], axis=-1)
+            sols = ilqr.solve_batch(self.ocp, z0s, us, self.solver_config)
+            x_next = sols.xs[:, c, :13]
+            s_next = jnp.maximum(s, sols.xs[:, c, 13])
+            us_next = jnp.concatenate(
+                [sols.us[:, c:], jnp.tile(sols.us[:, -1:], (1, c, 1))],
+                axis=1,
+            )
+            return (x_next, s_next, us_next), s_next
+
+        @jax.jit
+        def chain(x, s, us):
+            return jax.lax.scan(window, (x, s, us), None, length=n_windows)
+
+        (x, s, us), s_hist = chain(x, s, us)
+        return {
+            "progress": np.asarray(s),
+            "windows": n_windows,
+            "success_rate": float(np.mean(np.asarray(s) >= 0.99)),
+            "progress_history": np.asarray(s_hist),
+            "final_states": np.asarray(x),
+        }
+
     def run(
         self,
         x0: jax.Array,

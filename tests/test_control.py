@@ -87,6 +87,37 @@ class TestMHTT:
         assert out["progress"] > 0.0
 
 
+class TestMHTTScanChain:
+    def test_scan_chain_matches_host_loop(self):
+        """run_batch_scan (one lax.scan-over-windows program) must advance
+        progress identically to the host-loop run_batch: same solves, same
+        shift-and-hold carry, just traced."""
+        cfg = short_course_config()
+        params = AircraftParams.from_config(cfg.aircraft)
+        track = DubinsInitialiser(cfg)
+        mhtt = MHTT(
+            params, cfg, track, num_nodes=25, dt=0.02, overlap=15, substeps=2,
+            solver_config=SolverConfig(max_al_iters=1, max_inner_iters=6),
+        )
+        x0s = jnp.tile(
+            jnp.asarray(cfg.waypoints.initial_state, dtype=jnp.float32)[None],
+            (3, 1),
+        )
+        n_w = 3
+        scan_out = mhtt.run_batch_scan(x0s, n_w)
+        loop_out = mhtt.run_batch(x0s, max_windows=n_w, progress_target=2.0)
+
+        assert scan_out["windows"] == loop_out["windows"] == n_w
+        assert np.all(np.isfinite(scan_out["final_states"]))
+        assert np.all(scan_out["progress"] > 0.0)
+        np.testing.assert_allclose(
+            scan_out["progress"], loop_out["progress"], atol=1e-4)
+        # per-window progress history matches too (scan emits (W, B))
+        np.testing.assert_allclose(
+            scan_out["progress_history"],
+            loop_out["progress_history"][1:], atol=1e-4)
+
+
 class TestTimeOptimalSweep:
     @pytest.mark.slow
     def test_sweep_selects_fastest_feasible_schedule(self):
