@@ -349,7 +349,7 @@ def bench_warm():
     solver_cfg = SolverConfig(
         max_al_iters=int(os.environ.get("BENCH_AL", "2")),
         max_inner_iters=int(os.environ.get("BENCH_INNER", "6")),
-        line_search_steps=int(os.environ.get("BENCH_LS", "12")),
+        line_search_steps=int(os.environ.get("BENCH_LS", "6")),
         hessian="gauss_newton",
         reg_escalate=float(os.environ.get("BENCH_ESC", "100")),
     )
@@ -436,7 +436,11 @@ def main():
         # schedule, and >6 buys nothing further (see STATUS.md)
         max_al_iters=int(os.environ.get("BENCH_AL", "2")),
         max_inner_iters=int(os.environ.get("BENCH_INNER", "6")),
-        line_search_steps=int(os.environ.get("BENCH_LS", "12")),
+        # 6 line-search candidates is the measured knee on v5e: 680/s at
+        # mean cost 771 vs 606/s at 776 with 12 candidates (the forward
+        # pass vmaps all candidates, so cost is linear in the count);
+        # 4 candidates reach 708/s but degrade cost to 857 — not taken
+        line_search_steps=int(os.environ.get("BENCH_LS", "6")),
         hessian="gauss_newton",
         reg_escalate=float(os.environ.get("BENCH_ESC", "100")),
     )
