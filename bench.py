@@ -145,6 +145,70 @@ def bench_chol():
     }))
 
 
+def bench_riccati():
+    """BENCH_MODE=riccati: sequential O(N) vs associative-scan O(log N)
+    Riccati backward sweep across horizon lengths — the domain's sequence
+    parallelism (SURVEY §5.7: the horizon is the long axis; the reference
+    can only window it, this framework can reduce it in log depth)."""
+    from aircraft_tpu.solvers import riccati
+
+    n, m = 13, 7
+    rng = np.random.default_rng(0)
+    reg = jnp.asarray(1e-6, jnp.float32)
+    horizons = [int(h) for h in os.environ.get(
+        "BENCH_HORIZONS", "50,200,800,3200").split(",")]
+
+    def stage_data(N):
+        A = np.eye(n)[None] + 0.01 * rng.normal(0, 1, (N, n, n))
+        B = 0.01 * rng.normal(0, 1, (N, n, m))
+        lx = rng.normal(0, 1, (N, n))
+        lu = rng.normal(0, 1, (N, m))
+        W = rng.normal(0, 1, (N, n, n))
+        lxx = np.einsum("bij,bkj->bik", W, W) / n + np.eye(n)[None]
+        U = rng.normal(0, 1, (N, m, m))
+        luu = np.einsum("bij,bkj->bik", U, U) / m + np.eye(m)[None]
+        lux = 0.01 * rng.normal(0, 1, (N, m, n))
+        vx = rng.normal(0, 1, n)
+        vxx = np.eye(n)
+        return tuple(jnp.asarray(a, jnp.float32)
+                     for a in (A, B, lx, lu, lxx, luu, lux, vx, vxx))
+
+    def t(fn, args, reps=7):
+        r = fn(*args, reg)
+        jax.block_until_ready(r)
+        walls = []
+        for _ in range(reps):
+            t0 = time.time()
+            r = fn(*args, reg)
+            jax.block_until_ready(r)
+            walls.append(time.time() - t0)
+        return float(np.median(walls))
+
+    seq = jax.jit(riccati.backward_sequential)
+    assoc = jax.jit(riccati.backward_associative)
+    rows = {}
+    for N in horizons:
+        args = stage_data(N)
+        ts, ta = t(seq, args), t(assoc, args)
+        # correctness: identical gains
+        Ks, *_ = seq(*args, reg)
+        Ka, *_ = assoc(*args, reg)
+        rows[f"N{N}"] = {
+            "seq_ms": round(ts * 1e3, 3), "assoc_ms": round(ta * 1e3, 3),
+            "speedup": round(ts / ta, 3),
+            "max_K_diff": float(jnp.max(jnp.abs(Ks - Ka))),
+        }
+    biggest = rows[f"N{horizons[-1]}"]
+    print(json.dumps({
+        "metric": "riccati_associative_speedup_vs_sequential",
+        "value": biggest["speedup"],
+        "unit": "x",
+        "vs_baseline": biggest["speedup"],
+        "horizons": rows,
+        "device": str(jax.devices()[0]),
+    }))
+
+
 def _build_problem():
     """Shared problem setup: the N=50 MHTT window OCP on the reference
     glider course with the NN surrogate (same construction as main())."""
@@ -411,6 +475,9 @@ def main():
         return
     if os.environ.get("BENCH_MODE") == "warm":
         bench_warm()
+        return
+    if os.environ.get("BENCH_MODE") == "riccati":
+        bench_riccati()
         return
     try:
         jax.config.update("jax_compilation_cache_dir",
