@@ -190,9 +190,14 @@ def bench_riccati():
     for N in horizons:
         args = stage_data(N)
         ts, ta = t(seq, args), t(assoc, args)
-        # correctness: identical gains
-        Ks, *_ = seq(*args, reg)
-        Ka, *_ = assoc(*args, reg)
+        # correctness: identical gains. Timing above uses the default
+        # (perf-relevant) matmul precision; the parity check pins
+        # 'highest' because TPU default f32 matmuls take bf16 passes,
+        # which turns pure summation-order noise into ~1e-2 K diffs
+        # (measured 2.9e-6 at highest on v5e, same as CPU f32).
+        with jax.default_matmul_precision("highest"):
+            Ks, *_ = jax.jit(riccati.backward_sequential)(*args, reg)
+            Ka, *_ = jax.jit(riccati.backward_associative)(*args, reg)
         rows[f"N{N}"] = {
             "seq_ms": round(ts * 1e3, 3), "assoc_ms": round(ta * 1e3, 3),
             "speedup": round(ts / ta, 3),
