@@ -214,6 +214,53 @@ def bench_riccati():
     }))
 
 
+def bench_latency():
+    """BENCH_MODE=latency: p50/p90 replan latency of ONE window solve
+    (batch=1) — the BASELINE north-star latency metric.  The throughput
+    modes amortise a 256-wide batch; a deployed MPC replanning a single
+    aircraft pays this number per window against the reference's 0.2 s
+    real-time budget (reference main/mhe/mhtt.py:62,77)."""
+    cfg, params, ocp = _build_problem()
+    solver_cfg = SolverConfig(
+        max_al_iters=int(os.environ.get("BENCH_AL", "2")),
+        max_inner_iters=int(os.environ.get("BENCH_INNER", "6")),
+        line_search_steps=int(os.environ.get("BENCH_LS", "6")),
+        hessian="gauss_newton",
+        reg_escalate=float(os.environ.get("BENCH_ESC", "100")),
+    )
+    x0 = _bench_initial_states(cfg, 1)[0]
+    us0 = jnp.zeros((N_HORIZON, 7), dtype=jnp.float32)
+    solve = jax.jit(lambda z0, uss: ilqr.solve_impl(ocp, z0, uss, solver_cfg))
+
+    t0 = time.time()
+    sol = solve(x0, us0)
+    sol.xs.block_until_ready()
+    compile_wall = time.time() - t0
+
+    reps = int(os.environ.get("BENCH_REPS", "30"))
+    walls = []
+    for _ in range(reps):
+        t0 = time.time()
+        sol = solve(x0, us0)
+        sol.xs.block_until_ready()
+        walls.append(time.time() - t0)
+    p50 = float(np.percentile(walls, 50))
+    p90 = float(np.percentile(walls, 90))
+    budget = 0.2  # reference commits 0.2 s of trajectory per window
+    print(json.dumps({
+        "metric": "replan_latency_p50_ms_b1_N50",
+        "value": round(p50 * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": round(budget / p50, 2),  # x headroom inside budget
+        "p90_ms": round(p90 * 1e3, 3),
+        "reps": reps,
+        "compile_wall_s": round(compile_wall, 1),
+        "cost": round(float(sol.cost), 1),
+        "violation": round(float(sol.violation), 3),
+        "device": str(jax.devices()[0]),
+    }))
+
+
 def _build_problem():
     """Shared problem setup: the N=50 MHTT window OCP on the reference
     glider course with the NN surrogate (same construction as main())."""
@@ -483,6 +530,9 @@ def main():
         return
     if os.environ.get("BENCH_MODE") == "riccati":
         bench_riccati()
+        return
+    if os.environ.get("BENCH_MODE") == "latency":
+        bench_latency()
         return
     try:
         jax.config.update("jax_compilation_cache_dir",
