@@ -225,6 +225,50 @@ class TrajectoryConfig:
         with open(path) as f:
             return cls.from_dict(json.load(f))
 
+    def to_dict(self) -> dict:
+        """Serialise back to the reference JSON schema (the exact keys
+        ``from_dict`` consumes), so configs round-trip:
+        ``TrajectoryConfig.from_dict(cfg.to_dict()) == cfg`` for 3D
+        waypoint sets.  (2D sets are not invertible: ``from_dict``
+        back-fills altitude by the glide-ratio rule on load.)"""
+        a = self.aircraft
+        return {
+            "waypoints": {
+                "waypoints": [list(w) for w in self.waypoints.waypoints],
+                "initial_state": list(self.waypoints.initial_state),
+                "default_velocity": self.waypoints.default_velocity,
+                "waypoint_indices": list(self.waypoints.waypoint_indices),
+                "waypoint_tolerance": self.waypoints.tolerance,
+            },
+            "aircraft": {
+                "mass": a.mass, "span": a.span, "length": a.length,
+                "chord": a.chord, "reference_area": a.reference_area,
+                "aero_centre_offset": list(a.aero_centre_offset),
+                "Ixx": a.Ixx, "Iyy": a.Iyy, "Izz": a.Izz, "Ixz": a.Ixz,
+                "r_min": a.r_min, "glide_ratio": a.glide_ratio,
+                "rudder_moment_arm": a.rudder_moment_arm,
+            },
+            "state": {
+                "alpha": list(self.state.alpha),
+                "beta": list(self.state.beta),
+                "airspeed": list(self.state.airspeed),
+            },
+            "control": {
+                "aileron_limit": list(self.control.aileron),
+                "elevator_limit": list(self.control.elevator),
+                "rudder_limit": list(self.control.rudder),
+                "throttle_limit": [list(t) for t in self.control.throttle],
+                "flaps_limit": list(self.control.flaps),
+                "centre_of_mass_limit": [
+                    list(c) for c in self.control.centre_of_mass
+                ],
+            },
+        }
+
+    def save_json(self, path: str | Path) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
 
 # ---------------------------------------------------------------------------
 # Transcription / solver option axes
@@ -312,11 +356,12 @@ DEFAULT_STATE_SCALE = np.array(
 DEFAULT_CONTROL_SCALE = np.array([10.0, 10.0, 1.0, 1.0, 1.0, 1.0, 1.0])
 
 
-def glider_config() -> TrajectoryConfig:
-    """The canonical glider problem (mirrors reference
-    data/glider/problem_definition.json)."""
-    return TrajectoryConfig.from_dict(
-        {
+# The canonical glider problem (mirrors reference
+# data/glider/problem_definition.json; shipped standalone as
+# data/glider/problem_definition.json in this repo — regenerate with
+# `python -c "from aircraft_tpu.config import write_glider_problem_json;
+#             write_glider_problem_json()"`).
+GLIDER_PROBLEM: dict = {
             "waypoints": {
                 "waypoints": [
                     [150.0, 10.0, -190.0],
@@ -355,5 +400,21 @@ def glider_config() -> TrajectoryConfig:
                 "throttle_limit": [[0, 0, 0], [0, 0, 0]],
                 "centre_of_mass_limit": [[-0.5, -0.1, -0.1], [0.5, 0.1, 0.1]],
             },
-        }
-    )
+}
+
+
+def glider_config() -> TrajectoryConfig:
+    """The canonical glider problem (reference
+    data/glider/problem_definition.json)."""
+    return TrajectoryConfig.from_dict(GLIDER_PROBLEM)
+
+
+def write_glider_problem_json(path: str | Path = "data/glider/problem_definition.json"):
+    """Ship the canonical problem as a standalone JSON (the raw declared
+    dict, NOT a loaded config's to_dict() — the 2D waypoint objective's
+    glide-ratio altitude back-fill applies on LOAD and must not be baked
+    into the file)."""
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    with open(p, "w") as f:
+        json.dump(GLIDER_PROBLEM, f, indent=2)

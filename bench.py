@@ -227,6 +227,9 @@ def bench_latency():
         line_search_steps=int(os.environ.get("BENCH_LS", "6")),
         hessian="gauss_newton",
         reg_escalate=float(os.environ.get("BENCH_ESC", "100")),
+        # at batch=1 the backward sweep is depth-bound, so the O(log N)
+        # associative Riccati is a live A/B candidate here
+        riccati=os.environ.get("BENCH_RICCATI", "sequential"),
     )
     x0 = _bench_initial_states(cfg, 1)[0]
     us0 = jnp.zeros((N_HORIZON, 7), dtype=jnp.float32)

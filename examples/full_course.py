@@ -23,8 +23,11 @@ from aircraft_tpu.control.course import solve_full_course
 from aircraft_tpu.plotting import TrajectoryPlotter
 from aircraft_tpu.utils import TrajectoryData
 
+# in-repo copy of the canonical problem (byte-for-byte config parity with
+# the reference file asserted in tests/test_artifacts_timemodes.py)
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PROBLEM = os.environ.get(
-    "PROBLEM_JSON", "/root/reference/data/glider/problem_definition.json"
+    "PROBLEM_JSON", os.path.join(_REPO_ROOT, "data/glider/problem_definition.json")
 )
 
 

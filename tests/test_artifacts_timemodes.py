@@ -152,3 +152,31 @@ class TestReferenceConfigParity:
         lb, ub = cfg.control.bounds(7)
         np.testing.assert_allclose(lb[:3], [-10, -10, -10])
         np.testing.assert_allclose(ub[:3], [10, 10, 10])
+
+    def test_shipped_problem_json_matches_reference(self):
+        """The in-repo data/glider/problem_definition.json (written by
+        config.write_glider_problem_json from GLIDER_PROBLEM) must load to
+        the same config as the reference's file AND as glider_config()."""
+        import pathlib
+
+        from aircraft_tpu.config import TrajectoryConfig, glider_config
+
+        repo = pathlib.Path(__file__).resolve().parents[1]
+        ours = TrajectoryConfig.from_json(
+            repo / "data/glider/problem_definition.json"
+        )
+        assert ours == glider_config()
+        ref = pathlib.Path("/root/reference/data/glider/problem_definition.json")
+        if ref.exists():
+            assert ours == TrajectoryConfig.from_json(ref)
+
+    def test_config_to_dict_round_trip_3d(self):
+        """to_dict/save_json round-trip for 3D waypoint objectives (2D
+        objectives re-apply the glide backfill on load — documented)."""
+        from aircraft_tpu.config import GLIDER_PROBLEM, TrajectoryConfig
+
+        d = {**GLIDER_PROBLEM,
+             "waypoints": {**GLIDER_PROBLEM["waypoints"],
+                           "waypoint_indices": [0, 1, 2]}}
+        cfg = TrajectoryConfig.from_dict(d)
+        assert TrajectoryConfig.from_dict(cfg.to_dict()) == cfg
