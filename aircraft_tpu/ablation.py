@@ -37,6 +37,8 @@ from aircraft_tpu.utils import TrajectoryData
 QUATERNION_MODES = ("integration", "expmap", "")
 SUBSTEPS = (1, 5, 10)
 MODELS = ("default", "nn")
+INTEGRATION_MODES = ("explicit", "implicit")
+TIME_MODES = ("fixed", "progress", "variable", "adaptive")
 
 
 def _coeff(model: str):
@@ -57,11 +59,13 @@ def run_case(
     dt: float,
     goal,
     solver_config: SolverConfig,
+    integration: str = "explicit",
 ) -> dict:
     params = AircraftParams.from_config(config.aircraft, coeff=_coeff(model))
     stage, terminal = goal_cost(jnp.asarray(goal), w_goal=1e-2, w_control=1e-2)
     ocp = build_aircraft_ocp(
         params, config, dt=dt, substeps=substeps, quaternion=quaternion,
+        integration=integration,
         stage_cost=stage, terminal_cost=terminal,
     )
     x0 = jnp.asarray(config.waypoints.initial_state, dtype=jnp.float32)
@@ -77,7 +81,7 @@ def run_case(
     m = solver_metrics(sol, wall)
     m.update(
         model=model, quaternion=quaternion or "none", substeps=substeps,
-        num_nodes=num_nodes, dt=dt,
+        integration=integration, num_nodes=num_nodes, dt=dt,
         goal_distance=float(np.linalg.norm(xs[-1, :3] - np.asarray(goal))),
         quaternion_drift=qnorm_drift,
         wall_s=round(wall, 2),
@@ -91,6 +95,8 @@ def run_ablation(
     models=MODELS,
     quaternion_modes=QUATERNION_MODES,
     substeps_grid=SUBSTEPS,
+    integration_modes=("explicit",),
+    time_modes=(),
     num_nodes: int = 40,
     dt: float = 0.05,
     out_dir: Optional[str] = None,
@@ -102,25 +108,86 @@ def run_ablation(
     goal = init[:3] + np.array([120.0, 20.0, 10.0])
 
     rows = []
-    for model, qmode, ss in itertools.product(models, quaternion_modes, substeps_grid):
+    for model, qmode, ss, integ in itertools.product(
+        models, quaternion_modes, substeps_grid, integration_modes
+    ):
         try:
             m, sol = run_case(
                 config, model=model, quaternion=qmode, substeps=ss,
-                num_nodes=num_nodes, dt=dt, goal=goal,
+                integration=integ, num_nodes=num_nodes, dt=dt, goal=goal,
                 solver_config=solver_config,
             )
             if out_dir:
                 Path(out_dir).mkdir(parents=True, exist_ok=True)
-                name = f"traj_{model}_{qmode or 'none'}_ss{ss}"
+                name = f"traj_{model}_{qmode or 'none'}_ss{ss}" + (
+                    "" if integ == "explicit" else f"_{integ}")
                 TrajectoryData(
                     state=np.asarray(sol.xs), control=np.asarray(sol.us)
                 ).save_npz(Path(out_dir) / f"{name}.npz")
         except Exception as e:  # a failed case must not kill the sweep
             m = {"model": model, "quaternion": qmode or "none", "substeps": ss,
-                 "error": repr(e)}
+                 "integration": integ, "error": repr(e)}
+        rows.append(m)
+        print(json.dumps(m), flush=True)
+
+    # time axis (reference ablation.py:62-67 'time' opts): the waypoint OCP
+    # carries the free-time formulations, so sweep it there
+    for tmode in time_modes:
+        try:
+            m = run_time_mode_case(config, time_mode=tmode,
+                                   solver_config=solver_config)
+        except Exception as e:
+            m = {"time": tmode, "error": repr(e)}
         rows.append(m)
         print(json.dumps(m), flush=True)
     return rows
+
+
+def run_time_mode_case(
+    config: TrajectoryConfig,
+    *,
+    time_mode: str,
+    num_nodes: int = 30,
+    dt: float = 0.1,
+    substeps: int = 5,
+    solver_config: Optional[SolverConfig] = None,
+) -> dict:
+    """One free-time-axis case on a short two-waypoint course (role of the
+    reference grid's time ∈ {fixed, progress, variable, adaptive})."""
+    from aircraft_tpu.control import waypoints as wp
+
+    solver_config = solver_config or SolverConfig(max_al_iters=3, max_inner_iters=15)
+    params = AircraftParams.from_config(config.aircraft)
+    init = np.asarray(config.waypoints.initial_state)
+    small = TrajectoryConfig.from_dict({
+        "waypoints": {
+            "waypoints": [list(init[:3] + [120.0, 10.0, 5.0]),
+                          list(init[:3] + [240.0, -10.0, 10.0])],
+            "initial_state": list(init),
+            "default_velocity": 45,
+            "waypoint_indices": [0, 1, 2],
+            "waypoint_tolerance": 10.0,
+        },
+        "aircraft": config.aircraft.__dict__,
+        "state": config.state.__dict__,
+        "control": {
+            "aileron_limit": list(config.control.aileron),
+            "elevator_limit": list(config.control.elevator),
+            "rudder_limit": list(config.control.rudder),
+            "throttle_limit": [list(t) for t in config.control.throttle],
+            "centre_of_mass_limit": [list(c) for c in config.control.centre_of_mass],
+        },
+    })
+    t0 = time.time()
+    sol = wp.solve_waypoint_racing(
+        params, small, num_nodes=num_nodes, dt=dt, substeps=substeps,
+        time_mode=time_mode, solver_config=solver_config,
+    )
+    jax.block_until_ready(sol.xs)
+    wall = time.time() - t0
+    m = solver_metrics(sol, wall)
+    m.update(time=time_mode, num_nodes=num_nodes, wall_s=round(wall, 2))
+    return m
 
 
 def main():
@@ -131,11 +198,16 @@ def main():
     if args.quick:
         run_ablation(
             models=("default",), quaternion_modes=("integration", ""),
-            substeps_grid=(1, 5), num_nodes=20, dt=0.05, out_dir=args.out,
+            substeps_grid=(1, 5), integration_modes=("explicit", "implicit"),
+            time_modes=("fixed", "progress"),
+            num_nodes=20, dt=0.05, out_dir=args.out,
             solver_config=SolverConfig(max_al_iters=2, max_inner_iters=8),
         )
     else:
-        run_ablation(out_dir=args.out)
+        run_ablation(
+            integration_modes=INTEGRATION_MODES, time_modes=TIME_MODES,
+            out_dir=args.out,
+        )
 
 
 if __name__ == "__main__":

@@ -125,6 +125,7 @@ def build_aircraft_ocp(
     terminal_cost: Callable,
     substeps: int = 1,
     quaternion: str = "integration",
+    integration: str = "explicit",
     wind: Optional[jax.Array] = None,
     extra_ineq: Optional[Callable] = None,
     terminal_ineq: Optional[Callable] = None,
@@ -148,7 +149,8 @@ def build_aircraft_ocp(
     }[quaternion]
     deriv = (lambda x, u: ac.state_derivative(params, x, u, wind)) if wind is not None else None
     step = integrators.make_step_fn(
-        params, substeps=substeps, normalize=normalize, derivative_fn=deriv
+        params, substeps=substeps, normalize=normalize, derivative_fn=deriv,
+        integration=integration,
     )
 
     env_ineq = envelope_ineq(params, config.state, config.control,
