@@ -387,12 +387,18 @@ class MHTT:
         progress_target: float = 0.99,
         us_init: Optional[jax.Array] = None,
         verbose: bool = False,
+        recorder=None,
     ) -> dict:
         """Closed-loop MPC until the track is consumed
         (reference main/mhe/mhtt.py:79-124).  ``us_init`` seeds the first
         window (e.g. trim controls tiled over the horizon — a cold zero
         start can commit a destabilising first window before the warm-start
-        carry takes over)."""
+        carry takes over).
+
+        ``recorder``: optional ``native.telemetry.TelemetryRecorder`` with
+        ``FLIGHT_REC_FLOATS``-wide records; each committed window is pushed
+        asynchronously (never blocks the replan loop — the structural fix
+        for the reference's in-callback logging, SURVEY §6)."""
         us = (jnp.zeros((self.N, 7), dtype=jnp.float32) if us_init is None
               else jnp.asarray(us_init, dtype=jnp.float32))
         x = jnp.asarray(x0, dtype=jnp.float32)
@@ -424,6 +430,14 @@ class MHTT:
             c = self.commit
             committed_controls.append(np.asarray(sol.us[:c]))
             committed_states.append(np.asarray(sol.xs[1 : c + 1, :13]))
+            if recorder is not None:
+                from aircraft_tpu.native.telemetry import flight_records
+
+                recorder.push(flight_records(
+                    windows, committed_states[-1], committed_controls[-1],
+                    np.asarray(sol.xs[1 : c + 1, 13]),
+                    float(sol.cost), float(sol.violation),
+                ))
             x = sol.xs[c, :13]
             s = float(sol.xs[c, 13])
             # shift-and-hold warm start (reference warm-start carry)

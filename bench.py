@@ -518,7 +518,98 @@ def bench_warm():
     }))
 
 
+def bench_serve():
+    """BENCH_MODE=serve: real-time single-aircraft serving loop with
+    deadline accounting and ASYNC telemetry — the deployed shape.
+
+    Each N=50 window commits (N-overlap)*dt = 0.2 s of trajectory
+    (reference main/mhe/mhtt.py:62,77), so 0.2 s is the hard per-window
+    deadline.  Every committed window is also pushed to the native
+    telemetry recorder (native/telemetry.cpp) — proof that full-rate
+    flight logging rides along at ~zero marginal cost, where the
+    reference's synchronous in-callback logging cost 411 s of a 423 s
+    solve (SURVEY §6).  Reports deadline-miss rate + latency percentiles
+    with telemetry ON, and the recorder's own push overhead."""
+    import tempfile
+
+    from aircraft_tpu.native import telemetry as tel
+
+    cfg, params, ocp = _build_problem()
+    solver_cfg = SolverConfig(
+        max_al_iters=int(os.environ.get("BENCH_AL", "2")),
+        max_inner_iters=int(os.environ.get("BENCH_INNER", "6")),
+        line_search_steps=int(os.environ.get("BENCH_LS", "6")),
+        hessian="gauss_newton",
+        reg_escalate=float(os.environ.get("BENCH_ESC", "100")),
+    )
+    N = N_HORIZON
+    commit = N - 30                      # reference overlap=30
+    deadline = commit * DT               # 0.2 s of committed trajectory
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "50"))
+
+    solve = jax.jit(lambda z0, uss: ilqr.solve_impl(ocp, z0, uss, solver_cfg))
+    x = _bench_initial_states(cfg, 1)[0]
+    us = jnp.zeros((N, 7), dtype=jnp.float32)
+
+    t0 = time.time()
+    sol = solve(x, us)
+    sol.xs.block_until_ready()
+    compile_wall = time.time() - t0
+
+    log_path = os.path.join(tempfile.gettempdir(), "aircraft_tpu_serve.bin")
+    walls, tel_walls = [], []
+    with tel.TelemetryRecorder(log_path, tel.FLIGHT_REC_FLOATS,
+                               capacity=1 << 16) as rec:
+        for w in range(n_windows):
+            t0 = time.time()
+            sol = solve(x, us)
+            sol.xs.block_until_ready()
+            walls.append(time.time() - t0)
+
+            t1 = time.time()
+            xs = np.asarray(sol.xs)
+            rec.push(tel.flight_records(
+                w, xs[1:commit + 1, :13], np.asarray(sol.us[:commit]),
+                xs[1:commit + 1, 13], float(sol.cost), float(sol.violation),
+            ))
+            tel_walls.append(time.time() - t1)
+
+            x = sol.xs[commit]
+            us = jnp.concatenate(
+                [sol.us[commit:], jnp.tile(sol.us[-1:], (commit, 1))], axis=0
+            )
+        rec.flush()
+        written, dropped = rec.stats()
+        backend = rec.backend
+
+    walls = np.asarray(walls)
+    misses = int(np.sum(walls > deadline))
+    print(json.dumps({
+        "metric": "serve_deadline_miss_rate_N50",
+        "value": round(misses / n_windows, 4),
+        "unit": "fraction",
+        "vs_baseline": round(deadline / float(np.percentile(walls, 50)), 2),
+        "windows": n_windows,
+        "deadline_ms": deadline * 1e3,
+        "p50_ms": round(float(np.percentile(walls, 50)) * 1e3, 2),
+        "p99_ms": round(float(np.percentile(walls, 99)) * 1e3, 2),
+        "max_ms": round(float(walls.max()) * 1e3, 2),
+        "telemetry_backend": backend,
+        "telemetry_records": written,
+        "telemetry_dropped": dropped,
+        "telemetry_push_p50_us": round(
+            float(np.percentile(tel_walls, 50)) * 1e6, 1
+        ),
+        "compile_wall_s": round(compile_wall, 1),
+        "final_progress": round(float(np.asarray(sol.xs)[commit, 13]), 4),
+        "device": str(jax.devices()[0]),
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "serve":
+        bench_serve()
+        return
     if os.environ.get("BENCH_MODE") == "kernel":
         bench_kernel()
         return
