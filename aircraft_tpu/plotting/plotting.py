@@ -163,3 +163,58 @@ class TrajectoryPlotter:
         anim = FuncAnimation(fig, update, frames=xs.shape[0], blit=False)
         anim.save(path, writer=PillowWriter(fps=fps))
         plt.close(fig)
+
+
+def aero_polars(params, alphas_deg, airspeed: float = 50.0):
+    """Sweep angle of attack through the coefficient model at fixed airspeed
+    and return the 6 aero coefficients, shape (len(alphas), 6).
+
+    Role of the reference's analytic polar figures (figures/alpha_vs_cx.svg,
+    alpha_vs_cz.svg, cited by BASELINE config 1): states are built with body
+    velocity [V cos α, 0, V sin α] and identity attitude so α is exact.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from aircraft_tpu.dynamics.aircraft import coefficients
+
+    alphas = jnp.deg2rad(jnp.asarray(alphas_deg, dtype=jnp.float32))
+
+    def one(a):
+        x = jnp.concatenate([
+            jnp.array([0.0, 0.0, -200.0]),
+            airspeed * jnp.array([jnp.cos(a), 0.0, jnp.sin(a)]),
+            jnp.array([0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+        ])
+        return coefficients(params, x, jnp.zeros(7))
+
+    return np.asarray(jax.vmap(one)(alphas))
+
+
+def plot_polars(models: dict, path=None, airspeed: float = 50.0,
+                alpha_range_deg=(-15.0, 20.0), n: int = 71):
+    """α-vs-CX and α-vs-CZ polar comparison across coefficient models.
+
+    ``models``: {label: AircraftParams}.  Saves to ``path`` if given,
+    returns the matplotlib figure.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    alphas = np.linspace(alpha_range_deg[0], alpha_range_deg[1], n)
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    for label, params in models.items():
+        C = aero_polars(params, alphas, airspeed)
+        axes[0].plot(alphas, C[:, 0], label=label)
+        axes[1].plot(alphas, C[:, 2], label=label)
+    axes[0].set_xlabel("α [deg]"); axes[0].set_ylabel("CX")
+    axes[1].set_xlabel("α [deg]"); axes[1].set_ylabel("CZ")
+    for ax in axes:
+        ax.grid(True, alpha=0.3)
+        ax.legend()
+    fig.tight_layout()
+    if path is not None:
+        fig.savefig(path, bbox_inches="tight")
+    return fig

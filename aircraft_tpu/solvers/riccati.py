@@ -166,27 +166,15 @@ def backward_sequential(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg):
     return K, k, jnp.sum(dv1), jnp.sum(dv2), jnp.max(qu), fail
 
 
-def backward_associative(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg):
-    """O(log N)-depth Riccati via associative scan over conditional-value
-    elements (A_e, b_e, C_e, η_e, J_e):
-
-        V_{k|j}(x) is parameterised by the element combining rule
-        e1 ⊗ e2 with G = (I + C1 J2)⁻¹:
-            A = A2 G A1
-            b = A2 G (b1 + C1 η2) + b2
-            C = A2 G C1 A2ᵀ + C2
-            η = A1ᵀ Gᵀ (η2 − J2 b1) + η1
-            J = A1ᵀ Gᵀ J2 A1 + J1
-
-    Gains are recovered per-knot from the scanned V_{k+1} in one vmap.
-    """
-    N, n = A.shape[0], A.shape[1]
+def cv_elements(A, B, lx, lu, lxx, luu, lux, reg):
+    """Per-knot conditional-value elements (A_e, b_e, C_e, η_e, J_e) for the
+    associative Riccati reduction.  Returns (stage elements, fail flag).
+    Cross terms are removed by ū = u + L x, L = luu⁻¹ lux (module
+    docstring)."""
     m = B.shape[2]
     dtype = A.dtype
-    eye_n = jnp.eye(n, dtype=dtype)
     eye_m = jnp.eye(m, dtype=dtype)
 
-    # regularise and remove cross terms: ū = u + L x, L = luu⁻¹ lux
     luu_r = 0.5 * (luu + jnp.swapaxes(luu, -1, -2)) + reg * eye_m
     chol = jnp.linalg.cholesky(luu_r)
     fail = jnp.any(jnp.isnan(chol))
@@ -202,40 +190,56 @@ def backward_associative(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg):
     C_e = jnp.einsum("kij,kjl,kml->kim", B, Rinv, B)
     b_e = -jnp.einsum("kij,kjl,kl->ki", B, Rinv, lu)
 
-    # stage elements; terminal boundary appended as an extra element
-    A_el = jnp.concatenate([A_bar, jnp.zeros((1, n, n), dtype)], axis=0)
-    b_el = jnp.concatenate([b_e, jnp.zeros((1, n), dtype)], axis=0)
-    C_el = jnp.concatenate([C_e, jnp.zeros((1, n, n), dtype)], axis=0)
-    eta_el = jnp.concatenate([-lx_bar, -vx[None]], axis=0)
-    J_el = jnp.concatenate([lxx_bar, vxx[None]], axis=0)
+    return (A_bar, b_e, C_e, -lx_bar, lxx_bar), fail
 
-    def combine(e_late, e_early):
-        # under reverse=True, associative_scan feeds the HIGHER-index block
-        # as the first argument (empirically: scan[0] = f(e_N, ... f(e_1, e_0)))
-        A1, b1, C1, eta1, J1 = e_early
-        A2, b2, C2, eta2, J2 = e_late
-        n_ = A1.shape[-1]
-        I = jnp.eye(n_, dtype=A1.dtype)
-        G = jnp.linalg.solve(I + jnp.einsum("...ij,...jk->...ik", C1, J2), I)
-        # (I + J2 C1)^{-1} = G^T for symmetric C1, J2
-        GT = jnp.swapaxes(G, -1, -2)
-        A2G = jnp.einsum("...ij,...jk->...ik", A2, G)
-        A_new = jnp.einsum("...ij,...jk->...ik", A2G, A1)
-        b_new = jnp.einsum("...ij,...j->...i", A2G,
-                           b1 + jnp.einsum("...ij,...j->...i", C1, eta2)) + b2
-        C_new = jnp.einsum("...ij,...jk,...lk->...il", A2G, C1, A2) + C2
-        A1T_GT = jnp.einsum("...ji,...jk->...ik", A1, GT)
-        eta_new = jnp.einsum("...ij,...j->...i", A1T_GT,
-                             eta2 - jnp.einsum("...ij,...j->...i", J2, b1)) + eta1
-        J_new = jnp.einsum("...ij,...jk,...kl->...il", A1T_GT, J2, A1) + J1
-        J_new = 0.5 * (J_new + jnp.swapaxes(J_new, -1, -2))
-        return (A_new, b_new, C_new, eta_new, J_new)
 
-    elems = (A_el, b_el, C_el, eta_el, J_el)
-    scanned = jax.lax.associative_scan(combine, elems, reverse=True, axis=0)
-    # V_k params for k = 0..N (scanned[k] combines stages k..N)
-    eta_all, J_all = scanned[3], scanned[4]
-    Vx_next, Vxx_next = -eta_all[1:], J_all[1:]     # V_{k+1} for k = 0..N-1
+def cv_terminal(vx, vxx):
+    """Terminal boundary element (appended past the last stage)."""
+    n = vx.shape[-1]
+    dtype = vx.dtype
+    return (jnp.zeros((n, n), dtype), jnp.zeros((n,), dtype),
+            jnp.zeros((n, n), dtype), -vx, vxx)
+
+
+def cv_identity(n, dtype):
+    """Identity of the combine: combine(e_id, x) == combine(x, e_id) == x
+    (A = I, everything else zero — verified in tests/test_riccati.py)."""
+    return (jnp.eye(n, dtype=dtype), jnp.zeros((n,), dtype),
+            jnp.zeros((n, n), dtype), jnp.zeros((n,), dtype),
+            jnp.zeros((n, n), dtype))
+
+
+def cv_combine(e_late, e_early):
+    """Associative combination rule, G = (I + C1 J2)⁻¹:
+        A = A2 G A1
+        b = A2 G (b1 + C1 η2) + b2
+        C = A2 G C1 A2ᵀ + C2
+        η = A1ᵀ Gᵀ (η2 − J2 b1) + η1
+        J = A1ᵀ Gᵀ J2 A1 + J1
+    Under reverse=True, associative_scan feeds the HIGHER-index block as the
+    first argument (empirically: scan[0] = f(e_N, ... f(e_1, e_0)))."""
+    A1, b1, C1, eta1, J1 = e_early
+    A2, b2, C2, eta2, J2 = e_late
+    n_ = A1.shape[-1]
+    I = jnp.eye(n_, dtype=A1.dtype)
+    G = jnp.linalg.solve(I + jnp.einsum("...ij,...jk->...ik", C1, J2), I)
+    # (I + J2 C1)^{-1} = G^T for symmetric C1, J2
+    GT = jnp.swapaxes(G, -1, -2)
+    A2G = jnp.einsum("...ij,...jk->...ik", A2, G)
+    A_new = jnp.einsum("...ij,...jk->...ik", A2G, A1)
+    b_new = jnp.einsum("...ij,...j->...i", A2G,
+                       b1 + jnp.einsum("...ij,...j->...i", C1, eta2)) + b2
+    C_new = jnp.einsum("...ij,...jk,...lk->...il", A2G, C1, A2) + C2
+    A1T_GT = jnp.einsum("...ji,...jk->...ik", A1, GT)
+    eta_new = jnp.einsum("...ij,...j->...i", A1T_GT,
+                         eta2 - jnp.einsum("...ij,...j->...i", J2, b1)) + eta1
+    J_new = jnp.einsum("...ij,...jk,...kl->...il", A1T_GT, J2, A1) + J1
+    J_new = 0.5 * (J_new + jnp.swapaxes(J_new, -1, -2))
+    return (A_new, b_new, C_new, eta_new, J_new)
+
+
+def recover_gains(A, B, lu, luu, lux, Vx_next, Vxx_next, reg):
+    """Per-knot feedback/feedforward gains from the scanned V_{k+1}."""
 
     def gains(A_k, B_k, lu_k, luu_k, lux_k, Vx1, Vxx1):
         Qu = lu_k + B_k.T @ Vx1
@@ -247,5 +251,23 @@ def backward_associative(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg):
         dv2 = 0.5 * k_k @ Quu @ k_k
         return K_k, k_k, dv1, dv2, jnp.max(jnp.abs(Qu)), bad
 
-    K, k, dv1, dv2, qu, bads = jax.vmap(gains)(A, B, lu, luu, lux, Vx_next, Vxx_next)
+    return jax.vmap(gains)(A, B, lu, luu, lux, Vx_next, Vxx_next)
+
+
+def backward_associative(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg):
+    """O(log N)-depth Riccati via associative scan over conditional-value
+    elements (see `cv_elements`/`cv_combine`).  Gains are recovered per-knot
+    from the scanned V_{k+1} in one vmap."""
+    stage, fail = cv_elements(A, B, lx, lu, lxx, luu, lux, reg)
+    term = cv_terminal(vx, vxx)
+    elems = jax.tree_util.tree_map(
+        lambda s, t: jnp.concatenate([s, t[None]], axis=0), stage, term)
+
+    scanned = jax.lax.associative_scan(cv_combine, elems, reverse=True, axis=0)
+    # V_k params for k = 0..N (scanned[k] combines stages k..N)
+    eta_all, J_all = scanned[3], scanned[4]
+    Vx_next, Vxx_next = -eta_all[1:], J_all[1:]     # V_{k+1} for k = 0..N-1
+
+    K, k, dv1, dv2, qu, bads = recover_gains(
+        A, B, lu, luu, lux, Vx_next, Vxx_next, reg)
     return K, k, jnp.sum(dv1), jnp.sum(dv2), jnp.max(qu), fail | jnp.any(bads)

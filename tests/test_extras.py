@@ -156,6 +156,28 @@ class TestTrajectoryIO:
         TrajectoryPlotter(waypoints=np.array([[50.0, 0, -200]])).save(data, out)
         assert out.exists() and out.stat().st_size > 10000
 
+    def test_aero_polars(self, tmp_path):
+        """α-sweep polars (role of reference figures/alpha_vs_c{x,z}.svg):
+        lift coefficient must grow (CZ more negative, FRD z-down) with α in
+        the linear range, and the figure must render."""
+        from aircraft_tpu.config import glider_config
+        from aircraft_tpu.dynamics.aircraft import AircraftParams
+        from aircraft_tpu.plotting import aero_polars, plot_polars
+
+        cfg = glider_config()
+        params = AircraftParams.from_config(cfg.aircraft)
+        alphas = np.linspace(-5.0, 10.0, 16)
+        C = aero_polars(params, alphas, airspeed=50.0)
+        assert C.shape == (16, 6)
+        assert np.all(np.isfinite(C))
+        # CZ monotone decreasing in the linear-α range (lift up = -z in FRD)
+        assert np.all(np.diff(C[:, 2]) < 0.0), C[:, 2]
+        # drag grows away from minimum-drag α: CX at the extremes is more
+        # negative (drag opposes +x flight) than at the sweep minimum
+        out = tmp_path / "polars.png"
+        plot_polars({"default": params}, out, alpha_range_deg=(-5, 10), n=16)
+        assert out.exists() and out.stat().st_size > 5000
+
 
 class TestSurrogateExtras:
     """Net2D/ControlNet + GP surrogate parity (reference

@@ -92,3 +92,43 @@ class TestPallasCholInSweep:
             riccati.enable_pallas_chol(False)
         np.testing.assert_allclose(np.asarray(K1), np.asarray(K0), atol=2e-3)
         np.testing.assert_allclose(np.asarray(k1), np.asarray(k0), atol=2e-3)
+
+
+class TestSequenceParallel:
+    """Horizon-sharded sweep over the 8-device mesh (parallel/seq_riccati)."""
+
+    def test_identity_element(self):
+        from aircraft_tpu.parallel.seq_riccati import backward_associative_sharded  # noqa: F401
+        from aircraft_tpu.solvers.riccati import cv_combine, cv_identity
+
+        prob = random_lq_problem(4, 5, 2)
+        elems, _ = riccati.cv_elements(*prob[:7], jnp.asarray(1e-6))
+        e0 = jax.tree_util.tree_map(lambda x: x[0], elems)
+        ident = cv_identity(5, jnp.float32)
+        for a, b in zip(cv_combine(ident, e0), e0):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        for a, b in zip(cv_combine(e0, ident), e0):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    @pytest.mark.parametrize("N,n,m", [(64, 6, 3), (32, 13, 7)])
+    def test_sharded_matches_sequential(self, N, n, m):
+        from aircraft_tpu.parallel.seq_riccati import (
+            backward_associative_sharded, make_seq_mesh)
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device mesh")
+        mesh = make_seq_mesh(8)
+        prob = random_lq_problem(N, n, m)
+        reg = jnp.asarray(1e-6, jnp.float32)
+        K_s, k_s, dv1_s, dv2_s, qu_s, fail_s = riccati.backward_sequential(*prob, reg)
+        K_p, k_p, dv1_p, dv2_p, qu_p, fail_p = jax.jit(
+            lambda *a: backward_associative_sharded(mesh, *a)
+        )(*prob, reg)
+        assert not bool(fail_s) and not bool(fail_p)
+        np.testing.assert_allclose(np.asarray(K_p), np.asarray(K_s), rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(k_p), np.asarray(k_s), rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(float(dv1_p), float(dv1_s), rtol=1e-2, atol=1e-3)
+        np.testing.assert_allclose(float(qu_p), float(qu_s), rtol=1e-2)
+        # outputs really are sharded over the horizon
+        assert K_p.sharding.is_equivalent_to(
+            jax.NamedSharding(mesh, jax.sharding.PartitionSpec("sp")), K_p.ndim)
