@@ -171,3 +171,43 @@ def locate_nan_in_jacobian(step_fn: Callable, x: jax.Array, u: jax.Array) -> dic
         "x_nonfinite": np.argwhere(~np.isfinite(np.asarray(x))).flatten().tolist(),
         "u_nonfinite": np.argwhere(~np.isfinite(np.asarray(u))).flatten().tolist(),
     }
+
+
+# ---------------------------------------------------------------------------
+# Finite-difference Jacobian cross-check (reference main/stability/trim.py
+# :139-215 offers finite_differences=True wrappers to validate the CasADi AD
+# path; here the AD under test is jax.jacfwd/jacrev)
+# ---------------------------------------------------------------------------
+
+
+def fd_jacobian(fn: Callable, x: jax.Array, eps: float = 1e-4) -> np.ndarray:
+    """Central-difference Jacobian of ``fn`` at ``x`` (host-side oracle)."""
+    x = np.asarray(x, dtype=np.float64)
+    f0 = np.asarray(fn(jnp.asarray(x, dtype=jnp.float32)), dtype=np.float64)
+    J = np.zeros(f0.shape + x.shape, dtype=np.float64)
+    for i in range(x.size):
+        dx = np.zeros_like(x)
+        dx.flat[i] = eps
+        fp = np.asarray(fn(jnp.asarray(x + dx, dtype=jnp.float32)))
+        fm = np.asarray(fn(jnp.asarray(x - dx, dtype=jnp.float32)))
+        J[..., i] = (fp - fm) / (2 * eps)
+    return J
+
+
+def check_jacobian(fn: Callable, x: jax.Array, eps: float = 1e-4,
+                   rtol: float = 5e-2, atol: float = 1e-3) -> dict:
+    """Compare jacfwd(fn) against the finite-difference oracle; returns a
+    report dict with the max absolute/relative deviation and a pass flag."""
+    J_ad = np.asarray(jax.jacfwd(fn)(jnp.asarray(x, dtype=jnp.float32)),
+                      dtype=np.float64)
+    J_fd = fd_jacobian(fn, x, eps)
+    abs_err = np.abs(J_ad - J_fd)
+    denom = np.maximum(np.abs(J_fd), 1.0)
+    rel_err = abs_err / denom
+    return {
+        "max_abs_err": float(abs_err.max()),
+        "max_rel_err": float(rel_err.max()),
+        "ok": bool(np.all(abs_err <= atol + rtol * denom)),
+        "worst_entry": [int(i) for i in
+                        np.unravel_index(abs_err.argmax(), abs_err.shape)],
+    }

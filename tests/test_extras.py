@@ -261,3 +261,29 @@ class TestExplorationNoise:
         assert abs(eg.eps - 0.1) < 1e-9
         eg.eps = 0.0
         np.testing.assert_array_equal(eg.select(a, -5.0, 5.0), a)
+
+
+class TestFDJacobian:
+    """AD-vs-finite-difference cross-check (reference trim.py:139-215
+    finite_differences option)."""
+
+    def test_dynamics_jacobian_matches_fd(self):
+        from aircraft_tpu.config import glider_config
+        from aircraft_tpu.dynamics.aircraft import AircraftParams, state_derivative
+        from aircraft_tpu.observability import check_jacobian
+
+        cfg = glider_config()
+        params = AircraftParams.from_config(cfg.aircraft)
+        x = jnp.asarray(cfg.waypoints.initial_state, dtype=jnp.float32)
+        u = jnp.zeros(7, dtype=jnp.float32)
+        rep = check_jacobian(lambda xx: state_derivative(params, xx, u), x)
+        assert rep["ok"], rep
+
+    def test_detects_wrong_jacobian(self):
+        from aircraft_tpu.observability import check_jacobian, fd_jacobian
+
+        # fn whose AD and FD disagree only if the check actually works
+        rep = check_jacobian(lambda x: jnp.where(x > 0, x, 0.0) ** 0.5 + x,
+                             jnp.asarray([1e-9, 2e-9]))
+        # sqrt kink at 0: AD gives huge derivative, FD a finite slope
+        assert not rep["ok"]
