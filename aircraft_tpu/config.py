@@ -342,6 +342,10 @@ class SolverConfig:
     # 'sequential' = O(N) Riccati scan; 'associative' = O(log N)-depth
     # parallel-in-time sweep (wins at long horizons)
     riccati: str = "sequential"
+    # unroll factor for the three per-knot scans (rollout, line-search
+    # forward, sequential Riccati): >1 trades program size for fewer loop
+    # iterations and cross-step fusion; should divide the horizon
+    scan_unroll: int = 1
     # 'exact' differentiates the full AL (IPOPT-parity Hessian, reference
     # config.py:29) — needed for complementarity-coupled constraints;
     # 'gauss_newton' builds constraint curvature as μ JᵀJ (PSD by

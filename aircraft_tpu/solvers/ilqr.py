@@ -176,13 +176,15 @@ def _quadraticize_gn(ocp: OCPFunctions, al: ALState, xs, us,
 
 
 def _backward_pass(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg,
-                   mode: str = "sequential"):
+                   mode: str = "sequential", unroll: int = 1):
     """Riccati recursion over the horizon (the factorisation step MUMPS did
     for IPOPT). Delegates to solvers/riccati.py: a sequential `lax.scan`
     or the O(log N)-depth associative-scan sweep."""
-    fn = (riccati_mod.backward_associative if mode == "associative"
-          else riccati_mod.backward_sequential)
-    return fn(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg)
+    if mode == "associative":
+        return riccati_mod.backward_associative(
+            A, B, lx, lu, lxx, luu, lux, vx, vxx, reg)
+    return riccati_mod.backward_sequential(
+        A, B, lx, lu, lxx, luu, lux, vx, vxx, reg, unroll=unroll)
 
 
 # ---------------------------------------------------------------------------
@@ -190,7 +192,8 @@ def _backward_pass(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg,
 # ---------------------------------------------------------------------------
 
 
-def _forward_pass(ocp: OCPFunctions, al: ALState, xs_ref, us_ref, K, k, alphas):
+def _forward_pass(ocp: OCPFunctions, al: ALState, xs_ref, us_ref, K, k,
+                  alphas, unroll: int = 1):
     """Roll out every candidate step size simultaneously (vmap over α) and
     return the best trajectory by AL cost. No backtracking loop — all
     candidates are one batched scan, the TPU-shaped version of a line
@@ -220,7 +223,8 @@ def _forward_pass(ocp: OCPFunctions, al: ALState, xs_ref, us_ref, K, k, alphas):
             return (x_next, nfro + (~finite)), (x_next, u)
 
         (_, nfro), (xs_new, us_new) = jax.lax.scan(
-            body, (xs_ref[0], jnp.asarray(0)), (us_ref, xs_ref[:-1], K, k, ks_idx)
+            body, (xs_ref[0], jnp.asarray(0)),
+            (us_ref, xs_ref[:-1], K, k, ks_idx), unroll=unroll,
         )
         xs_new = jnp.concatenate([xs_ref[:1], xs_new], axis=0)
         cost = ocp_mod.al_total_cost(ocp, al, xs_new, us_new)
@@ -266,7 +270,10 @@ def solve_impl(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
             x_next = jnp.where(ok, x_next, x)
             return (x_next, nfro + (~ok)), x_next
 
-        (_, nfro), xs_tail = jax.lax.scan(body, (x0, jnp.asarray(0)), (us, ks_idx))
+        (_, nfro), xs_tail = jax.lax.scan(
+            body, (x0, jnp.asarray(0)), (us, ks_idx),
+            unroll=config.scan_unroll,
+        )
         return jnp.concatenate([x0[None], xs_tail], axis=0), nfro
 
     xs0, nfro0 = initial_rollout(us_init)
@@ -319,12 +326,14 @@ def solve_impl(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
             san(lx), san(lu), san(lxx), san(luu), san(lux), san(vx), san(vxx)
         )
         K, kff, dv1, dv2, qu_max, fail = _backward_pass(
-            A, B, lx, lu, lxx, luu, lux, vx, vxx, reg, config.riccati
+            A, B, lx, lu, lxx, luu, lux, vx, vxx, reg, config.riccati,
+            unroll=config.scan_unroll,
         )
         K = jnp.clip(K, -config.gain_clip, config.gain_clip)
         kff = jnp.clip(kff, -config.gain_clip, config.gain_clip)
 
-        xs_new, us_new, cost_new, nfro_new = _forward_pass(ocp, al, xs, us, K, kff, alphas)
+        xs_new, us_new, cost_new, nfro_new = _forward_pass(
+            ocp, al, xs, us, K, kff, alphas, unroll=config.scan_unroll)
 
         expected = -(dv1 + dv2)
         improved = (cost_new < cost_prev - 1e-12) & ~fail

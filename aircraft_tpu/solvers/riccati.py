@@ -132,7 +132,8 @@ def _chol_solve_vmap(axis_size, in_batched, M, rhs, reg):
     return (Xf, bad), (True, True)
 
 
-def backward_sequential(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg):
+def backward_sequential(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg,
+                        unroll: int = 1):
     """Classic O(N) Riccati recursion (used by ilqr._backward_pass; kept
     here as the reference implementation for the parallel variant)."""
 
@@ -161,7 +162,7 @@ def backward_sequential(A, B, lx, lu, lxx, luu, lux, vx, vxx, reg):
 
     (_, _, fail), (K, k, dv1, dv2, qu) = jax.lax.scan(
         step, (vx, vxx, jnp.asarray(False)), (A, B, lx, lu, lxx, luu, lux),
-        reverse=True,
+        reverse=True, unroll=unroll,
     )
     return K, k, jnp.sum(dv1), jnp.sum(dv2), jnp.max(qu), fail
 

@@ -227,6 +227,7 @@ def bench_latency():
         line_search_steps=int(os.environ.get("BENCH_LS", "6")),
         hessian="gauss_newton",
         reg_escalate=float(os.environ.get("BENCH_ESC", "100")),
+        scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
         # at batch=1 the backward sweep is depth-bound, so the O(log N)
         # associative Riccati is a live A/B candidate here
         riccati=os.environ.get("BENCH_RICCATI", "sequential"),
@@ -471,6 +472,7 @@ def bench_warm():
         line_search_steps=int(os.environ.get("BENCH_LS", "6")),
         hessian="gauss_newton",
         reg_escalate=float(os.environ.get("BENCH_ESC", "100")),
+        scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
     )
     B, N = BATCH, N_HORIZON
     commit = N - 30  # reference overlap=30 (main/mhe/mhtt.py:62,77)
@@ -541,6 +543,7 @@ def bench_serve():
         line_search_steps=int(os.environ.get("BENCH_LS", "6")),
         hessian="gauss_newton",
         reg_escalate=float(os.environ.get("BENCH_ESC", "100")),
+        scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
     )
     N = N_HORIZON
     commit = N - 30                      # reference overlap=30
@@ -653,6 +656,7 @@ def bench_roofline():
         line_search_steps=int(os.environ.get("BENCH_LS", "6")),
         hessian="gauss_newton",
         reg_escalate=float(os.environ.get("BENCH_ESC", "100")),
+        scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
     )
     x0s = _bench_initial_states(cfg, BATCH)
     us0 = jnp.zeros((BATCH, N_HORIZON, 7), dtype=jnp.float32)
@@ -776,6 +780,7 @@ def main():
         line_search_steps=int(os.environ.get("BENCH_LS", "6")),
         hessian="gauss_newton",
         reg_escalate=float(os.environ.get("BENCH_ESC", "100")),
+        scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
     )
 
     x0s = _bench_initial_states(cfg, BATCH)

@@ -172,3 +172,32 @@ def _solve_quad_for_target(target, N, dt):
         ocp, z0, jnp.full((N, 4), 9.81 / 4.0),
         SolverConfig(max_al_iters=4, max_inner_iters=20),
     )
+
+
+class TestScanUnroll:
+    """scan_unroll must not change solutions — only the loop structure."""
+
+    def test_unroll_invariant(self):
+        dt = 0.1
+        A = jnp.asarray([[1.0, dt], [0.0, 1.0]], dtype=jnp.float32)
+        B = jnp.asarray([[0.5 * dt**2], [dt]], dtype=jnp.float32)
+        ocp = OCPFunctions(
+            step=lambda x, u, k: A @ x + B @ u,
+            stage_cost=lambda x, u, k: 0.5 * (x @ x) + 0.005 * (u @ u),
+            terminal_cost=lambda x: 50.0 * (x @ x),
+            ineq=lambda x, u, k: jnp.concatenate([u - 5.0, -5.0 - u]),
+        )
+        x0 = jnp.asarray([1.0, 0.0], dtype=jnp.float32)
+        us0 = jnp.zeros((40, 1), dtype=jnp.float32)
+        sols = {}
+        for unroll in (1, 2, 5, 8):
+            cfg = SolverConfig(max_al_iters=2, max_inner_iters=8,
+                               scan_unroll=unroll)
+            sols[unroll] = ilqr.solve_impl(ocp, x0, us0, cfg)
+        base = np.asarray(sols[1].us)
+        for unroll in (2, 5, 8):
+            np.testing.assert_allclose(
+                np.asarray(sols[unroll].us), base, atol=1e-5,
+                err_msg=f"unroll={unroll}")
+            np.testing.assert_allclose(
+                float(sols[unroll].cost), float(sols[1].cost), rtol=1e-5)
