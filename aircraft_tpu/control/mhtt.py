@@ -282,6 +282,29 @@ class MHTT:
             lambda z0s, uss: ilqr.solve_batch(self.ocp, z0s, uss, self.solver_config)
         )
 
+        def _serve_step(z0, us):
+            # one window solve whose host-visible results come back as ONE
+            # packed blob — a single D2H transfer per replan.  Per-field
+            # np.asarray/float() pulls cost ~117 ms/window through a remote
+            # device transport vs ~25 ms for the packed transfer (measured
+            # on v5e, BENCH_MODE=serve); the warm-start carry (z, us) never
+            # leaves the device either way.
+            c = self.commit
+            sol = ilqr.solve_impl(self.ocp, z0, us, self.solver_config)
+            z_next = sol.xs[c]
+            us_next = jnp.concatenate(
+                [sol.us[c:], jnp.tile(sol.us[-1:], (c, 1))], axis=0)
+            finite = jnp.all(jnp.isfinite(sol.xs)).astype(jnp.float32)
+            blob = jnp.concatenate([
+                sol.xs[1 : c + 1, :14].reshape(-1),
+                sol.us[:c].reshape(-1),
+                jnp.stack([sol.cost, sol.violation, finite,
+                           sol.xs[c, 13]]).astype(jnp.float32),
+            ])
+            return z_next, us_next, blob
+
+        self._serve_step = jax.jit(_serve_step)
+
     def solve_window(self, x0: jax.Array, s0: float, us_init: jax.Array) -> MHTTWindow:
         z0 = jnp.concatenate([x0, jnp.asarray([s0], dtype=x0.dtype)])
         sol = self._solve(z0, us_init)
@@ -402,7 +425,9 @@ class MHTT:
         us = (jnp.zeros((self.N, 7), dtype=jnp.float32) if us_init is None
               else jnp.asarray(us_init, dtype=jnp.float32))
         x = jnp.asarray(x0, dtype=jnp.float32)
+        z = jnp.concatenate([x, jnp.asarray([s0], dtype=jnp.float32)])
         s = float(s0)
+        c = self.commit
 
         committed_states = [np.asarray(x)]
         committed_controls = []
@@ -410,38 +435,40 @@ class MHTT:
         success = True
 
         while s < progress_target and windows < max_windows:
-            sol = self.solve_window(x, s, us)
+            # the carry (z, us) stays on device; everything the host needs
+            # arrives in one packed blob (see _serve_step)
+            z_new, us_new, blob = self._serve_step(z, us)
+            host = np.asarray(blob)
+            xs14 = host[: c * 14].reshape(c, 14)
+            us_c = host[c * 14 : c * 21].reshape(c, 7)
+            cost, violation, finite, s_next = host[-4:]
             if verbose and windows % 10 == 0:
-                _v = float(jnp.linalg.norm(sol.xs[self.commit, 3:6]))
+                _v = float(np.linalg.norm(xs14[-1, 3:6]))
+                x_h = committed_states[-1][-1] if windows else np.asarray(x0)
                 print(
-                    f"  window {windows}: s={s:.3f} viol={float(sol.violation):.2f} "
-                    f"pos=({float(x[0]):.0f},{float(x[1]):.0f},{float(x[2]):.0f}) "
+                    f"  window {windows}: s={s:.3f} viol={violation:.2f} "
+                    f"pos=({x_h[0]:.0f},{x_h[1]:.0f},{x_h[2]:.0f}) "
                     f"v={_v:.1f}", flush=True,
                 )
             # abort only on divergence or gross infeasibility (reference
             # breaks on IPOPT failure, main/mhe/mhtt.py:82-84); small
             # envelope residuals are expected mid-flight under warm AL
-            if (not np.all(np.isfinite(np.asarray(sol.xs)))) or float(
-                sol.violation
-            ) > 50.0:
+            if finite != 1.0 or violation > 50.0:
                 success = False
                 break
             # commit the non-overlap prefix
-            c = self.commit
-            committed_controls.append(np.asarray(sol.us[:c]))
-            committed_states.append(np.asarray(sol.xs[1 : c + 1, :13]))
+            committed_controls.append(us_c)
+            committed_states.append(xs14[:, :13])
             if recorder is not None:
                 from aircraft_tpu.native.telemetry import flight_records
 
                 recorder.push(flight_records(
-                    windows, committed_states[-1], committed_controls[-1],
-                    np.asarray(sol.xs[1 : c + 1, 13]),
-                    float(sol.cost), float(sol.violation),
+                    windows, xs14[:, :13], us_c, xs14[:, 13],
+                    float(cost), float(violation),
                 ))
-            x = sol.xs[c, :13]
-            s = float(sol.xs[c, 13])
             # shift-and-hold warm start (reference warm-start carry)
-            us = jnp.concatenate([sol.us[c:], jnp.tile(sol.us[-1:], (c, 1))], axis=0)
+            z, us = z_new, us_new
+            s = float(s_next)
             windows += 1
 
         states = np.concatenate(
