@@ -76,6 +76,8 @@ def solve_full_course(
     stall_guard: tuple[float, float] = (0.0, 20.0),
     r_min_per_segment=None,
     track_extend: float = 150.0,
+    abort_patience: int = 3,
+    n_candidates: Optional[int] = None,
 ) -> dict:
     """Fly the configured waypoint course closed-loop; returns the flown
     trajectory, per-waypoint misses, and success over the declared
@@ -158,17 +160,27 @@ def solve_full_course(
             "alpha_limit_deg": 20.0,
             "beta_limit_deg": 10.0,
         },
+        # inner budget: 20 suffices on CPU; on TPU the turnaround windows
+        # need 30 (measured on v5e: the course aborts at window ~86 with
+        # 20 and completes with 30 — the marginal windows take more
+        # re-damped steps to reach the good basin under TPU numerics)
         solver_config=solver_config
-        or SolverConfig(max_al_iters=4, max_inner_iters=20,
-                        hessian="gauss_newton"),
+        or SolverConfig(
+            max_al_iters=4,
+            max_inner_iters=30 if jax.default_backend() == "tpu" else 20,
+            hessian="gauss_newton"),
     )
 
     x0 = jnp.asarray(config.waypoints.initial_state, dtype=jnp.float32)
     v0 = float(np.linalg.norm(np.asarray(x0[3:6])))
-    trim = multistart_trim(
-        params, jax.random.PRNGKey(0), n_starts=trim_starts,
-        target_airspeed=max(v0, v_ref),
-    )
+    # the trim solve runs inside the same pinned-precision scope as the
+    # windows below: the trim controls seed every window's reset candidate,
+    # and precision-shifted trim measurably changes the flown course
+    with jax.default_matmul_precision("highest"):
+        trim = multistart_trim(
+            params, jax.random.PRNGKey(0), n_starts=trim_starts,
+            target_airspeed=max(v0, v_ref),
+        )
     us0 = jnp.tile(jnp.asarray(trim.control, jnp.float32)[None, :7],
                    (num_nodes, 1))
 
@@ -177,8 +189,27 @@ def solve_full_course(
     # through the last scored point, and flying it to the end just spends
     # the remaining altitude margin
     target_s = 1.0 - 0.7 * track_extend / max(track.total_length, 1.0)
-    out = mhtt.run(x0, max_windows=max_windows, progress_target=target_s,
-                   us_init=us0, verbose=verbose)
+    # patience > 1: the turnaround entries are marginal windows whose AL
+    # residual can transiently spike and recover on the next replan;
+    # device numerics (TPU bf16 matmul passes) shift exactly those windows.
+    # n_candidates: on TPU every window solves from 3 warm starts at once
+    # (a batch-3 solve is ~free on an underutilised chip) — measured
+    # necessary AND sufficient to fly the full course on v5e (misses
+    # 0.31/0.87/1.42/0.44 m, 228 windows), where single-candidate windows
+    # fall into stalling basins at the turnarounds that CPU numerics happen
+    # to avoid; on CPU a batch-3 solve costs real 3x wall and the single
+    # candidate already passes, so the default stays 1 there.
+    if n_candidates is None:
+        n_candidates = 3 if jax.default_backend() == "tpu" else 1
+    # pin f32 matmul passes: TPU f32 dots default to bf16 passes, which
+    # degrade the window solves enough to matter at the envelope floor
+    # (measured: early-course violations 38-56 at default precision vs
+    # ~0.01 pinned); a no-op on CPU
+    with jax.default_matmul_precision("highest"):
+        out = mhtt.run(x0, max_windows=max_windows, progress_target=target_s,
+                       us_init=us0, verbose=verbose,
+                       abort_patience=abort_patience,
+                       n_candidates=n_candidates)
     states = np.asarray(out["states"])
     misses = waypoint_misses(states, config)
     tol = float(config.waypoints.tolerance)
@@ -188,6 +219,8 @@ def solve_full_course(
         "controls": np.asarray(out["controls"]),
         "progress": out["progress"],
         "windows": out["windows"],
+        "abort_reason": out.get("abort_reason"),
+        "retries": out.get("retries"),
         "track": track,
         "trim": trim,
         "misses": misses,

@@ -305,6 +305,51 @@ class MHTT:
 
         self._serve_step = jax.jit(_serve_step)
 
+        def _serve_step_multi(z0, us_carry, us_reset):
+            # TPU-shaped robustness: the chip is underutilised at batch 1,
+            # so a window solve from SIX diverse warm starts (shifted
+            # carry, clean trim reset, their blends, a damped carry) costs
+            # barely more wall than one — and every window commits the best
+            # basin found.  Marginal windows (turnaround entries near the
+            # envelope floor) are chaotic under fixed-trip-count solves: a
+            # poisoned carry that costs the mission on one backend flies
+            # fine on another (observed CPU vs TPU); candidate diversity
+            # removes that sensitivity instead of chasing bit-parity.
+            c = self.commit
+            us_stack = jnp.stack([
+                us_carry,
+                us_reset,
+                0.5 * (us_carry + us_reset),
+                0.25 * us_carry + 0.75 * us_reset,
+                0.75 * us_carry + 0.25 * us_reset,
+                0.5 * us_carry + 0.5 * jnp.mean(us_carry, axis=0,
+                                                keepdims=True),
+            ])
+            z_stack = jnp.tile(z0[None], (us_stack.shape[0], 1))
+            sols = ilqr.solve_batch(self.ocp, z_stack, us_stack,
+                                    self.solver_config)
+            finite = jax.vmap(
+                lambda xs: jnp.all(jnp.isfinite(xs))
+            )(sols.xs).astype(jnp.float32)
+            # feasibility first, then cost; diverged candidates last
+            score = (jnp.nan_to_num(sols.cost, nan=jnp.inf)
+                     + 100.0 * jnp.nan_to_num(sols.violation, nan=jnp.inf)
+                     + jnp.where(finite > 0, 0.0, jnp.inf))
+            b = jnp.argmin(score)
+            xs, us = sols.xs[b], sols.us[b]
+            z_next = xs[c]
+            us_next = jnp.concatenate(
+                [us[c:], jnp.tile(us[-1:], (c, 1))], axis=0)
+            blob = jnp.concatenate([
+                xs[1 : c + 1, :14].reshape(-1),
+                us[:c].reshape(-1),
+                jnp.stack([sols.cost[b], sols.violation[b], finite[b],
+                           xs[c, 13]]).astype(jnp.float32),
+            ])
+            return z_next, us_next, blob
+
+        self._serve_step_multi = jax.jit(_serve_step_multi)
+
     def solve_window(self, x0: jax.Array, s0: float, us_init: jax.Array) -> MHTTWindow:
         z0 = jnp.concatenate([x0, jnp.asarray([s0], dtype=x0.dtype)])
         sol = self._solve(z0, us_init)
@@ -411,6 +456,9 @@ class MHTT:
         us_init: Optional[jax.Array] = None,
         verbose: bool = False,
         recorder=None,
+        abort_violation: float = 50.0,
+        abort_patience: int = 1,
+        n_candidates: int = 1,
     ) -> dict:
         """Closed-loop MPC until the track is consumed
         (reference main/mhe/mhtt.py:79-124).  ``us_init`` seeds the first
@@ -421,7 +469,28 @@ class MHTT:
         ``recorder``: optional ``native.telemetry.TelemetryRecorder`` with
         ``FLIGHT_REC_FLOATS``-wide records; each committed window is pushed
         asynchronously (never blocks the replan loop — the structural fix
-        for the reference's in-callback logging, SURVEY §6)."""
+        for the reference's in-callback logging, SURVEY §6).
+
+        Abort policy: non-finite states abort immediately; a window whose
+        constraint violation exceeds ``abort_violation`` only aborts after
+        ``abort_patience`` CONSECUTIVE such windows.  A single marginal
+        window (e.g. an aggressive turnaround entry) routinely recovers on
+        the next replan — with patience 1 a transient spike kills an
+        otherwise-flyable mission (observed on TPU, where matmul-precision
+        differences perturb exactly those marginal windows).
+
+        Retry policy (SURVEY §5.3: bounded retries with reset
+        initialisation): a window whose violation exceeds
+        ``abort_violation`` is re-solved ONCE from the clean ``us_init``
+        warm start (the shift-and-hold carry is the usual culprit — it can
+        hand a marginal window a poisoned basin); the better of the two
+        solves is committed.  Costs one extra solve only on bad windows.
+
+        ``n_candidates > 1`` (requires ``us_init``): EVERY window solves
+        from 3 warm starts at once (shifted carry / trim reset / blend) as
+        one tiny batch and commits the best — near-zero marginal wall on a
+        TPU chip that is underutilised at batch 1, and it de-chaoses the
+        marginal windows instead of retrying after the fact."""
         us = (jnp.zeros((self.N, 7), dtype=jnp.float32) if us_init is None
               else jnp.asarray(us_init, dtype=jnp.float32))
         x = jnp.asarray(x0, dtype=jnp.float32)
@@ -433,16 +502,34 @@ class MHTT:
         committed_controls = []
         windows = 0
         success = True
+        viol_streak = 0
+        retries = 0
+        abort_reason = None
+        verbose_every = 1 if (isinstance(verbose, int) and verbose > 1) else 10
 
         while s < progress_target and windows < max_windows:
             # the carry (z, us) stays on device; everything the host needs
             # arrives in one packed blob (see _serve_step)
-            z_new, us_new, blob = self._serve_step(z, us)
-            host = np.asarray(blob)
+            if n_candidates > 1 and us_init is not None:
+                z_new, us_new, blob = self._serve_step_multi(
+                    z, us, jnp.asarray(us_init, dtype=jnp.float32))
+                host = np.asarray(blob)
+            else:
+                z_new, us_new, blob = self._serve_step(z, us)
+                host = np.asarray(blob)
+                # blob tail layout: [cost, violation, finite, s_next]
+                if host[-3] > abort_violation and us_init is not None:
+                    # bounded retry from the clean warm start
+                    z_r, us_r, blob_r = self._serve_step(
+                        z, jnp.asarray(us_init, dtype=jnp.float32))
+                    host_r = np.asarray(blob_r)
+                    if host_r[-3] < host[-3]:
+                        z_new, us_new, host = z_r, us_r, host_r
+                        retries += 1
             xs14 = host[: c * 14].reshape(c, 14)
             us_c = host[c * 14 : c * 21].reshape(c, 7)
             cost, violation, finite, s_next = host[-4:]
-            if verbose and windows % 10 == 0:
+            if verbose and windows % verbose_every == 0:
                 _v = float(np.linalg.norm(xs14[-1, 3:6]))
                 x_h = committed_states[-1][-1] if windows else np.asarray(x0)
                 print(
@@ -450,11 +537,20 @@ class MHTT:
                     f"pos=({x_h[0]:.0f},{x_h[1]:.0f},{x_h[2]:.0f}) "
                     f"v={_v:.1f}", flush=True,
                 )
-            # abort only on divergence or gross infeasibility (reference
-            # breaks on IPOPT failure, main/mhe/mhtt.py:82-84); small
-            # envelope residuals are expected mid-flight under warm AL
-            if finite != 1.0 or violation > 50.0:
+            # abort only on divergence or PERSISTENT gross infeasibility
+            # (reference breaks on IPOPT failure, main/mhe/mhtt.py:82-84);
+            # small envelope residuals are expected mid-flight under warm AL
+            if finite != 1.0:
                 success = False
+                abort_reason = "divergence"
+                break
+            viol_streak = viol_streak + 1 if violation > abort_violation else 0
+            if viol_streak >= abort_patience:
+                success = False
+                abort_reason = (
+                    f"violation_streak ({viol_streak} windows > "
+                    f"{abort_violation}, last {violation:.1f})"
+                )
                 break
             # commit the non-overlap prefix
             committed_controls.append(us_c)
@@ -482,4 +578,6 @@ class MHTT:
             "progress": s,
             "windows": windows,
             "success": success and s >= progress_target,
+            "abort_reason": abort_reason,
+            "retries": retries,
         }
