@@ -144,3 +144,26 @@ class TestTimeOptimalSweep:
         for j, w in enumerate(wps):
             dmin = np.min(np.linalg.norm(xs[:, :3] - w, axis=1))
             assert dmin < 2.5 * cfg.waypoints.tolerance, (j, dmin)
+
+
+class TestMHTTCandidates:
+    """Multi-candidate window solves (n_candidates>1) must fly at least as
+    well as the single-candidate loop and report the new fields."""
+
+    def test_multi_candidate_run(self):
+        cfg = short_course_config()
+        params = AircraftParams.from_config(cfg.aircraft)
+        track = DubinsInitialiser(cfg)
+        mhtt = MHTT(
+            params, cfg, track, num_nodes=25, dt=0.02, overlap=15, substeps=2,
+            solver_config=SolverConfig(max_al_iters=2, max_inner_iters=10),
+        )
+        x0 = jnp.asarray(cfg.waypoints.initial_state, dtype=jnp.float32)
+        us0 = jnp.zeros((25, 7), dtype=jnp.float32)
+        out = mhtt.run(x0, max_windows=3, progress_target=0.95,
+                       us_init=us0, n_candidates=3)
+        assert out["windows"] == 3
+        assert np.all(np.isfinite(out["states"]))
+        assert out["progress"] > 0.0
+        assert out["abort_reason"] is None
+        assert out["retries"] == 0
