@@ -45,6 +45,15 @@ def _coeff(model: str):
     if model == "default":
         return DefaultCoeffParams()
     if model == "nn":
+        # trained surrogate when available (the reference grid ran its
+        # trained models, ablation.py:62-67); an untrained random MLP is
+        # aerodynamic noise — it has no trim and every case "fails"
+        mlp_path = (Path(__file__).resolve().parent.parent
+                    / "data" / "networks" / "mlp.npz")
+        if mlp_path.exists():
+            from aircraft_tpu.surrogates.models import load_mlp
+
+            return load_mlp(mlp_path)
         return MLPCoeffParams.init(jax.random.PRNGKey(0))
     raise ValueError(model)
 
@@ -69,7 +78,19 @@ def run_case(
         stage_cost=stage, terminal_cost=terminal,
     )
     x0 = jnp.asarray(config.waypoints.initial_state, dtype=jnp.float32)
-    us0 = jnp.zeros((num_nodes, 7), dtype=jnp.float32)
+    # trim warm start (same staged start as every other flow in the
+    # framework): a zero-control seed leaves the open-loop-unstable glider
+    # stalling/diving within the horizon, and the grid's accurate-
+    # integration cases (substeps 5/10) then honestly report the crash
+    # while the coarse ss=1 plant happens to remain controllable — the
+    # zero-start grid measured integrator artifacts, not formulations
+    from aircraft_tpu.solvers.trim import multistart_trim
+
+    v0 = float(np.linalg.norm(np.asarray(x0[3:6])))
+    trim = multistart_trim(params, jax.random.PRNGKey(0), n_starts=8,
+                           target_airspeed=max(v0, 30.0))
+    us0 = jnp.tile(jnp.asarray(trim.control, jnp.float32)[None, :7],
+                   (num_nodes, 1))
 
     t0 = time.time()
     sol = ilqr.solve(ocp, x0, us0, solver_config)
@@ -84,6 +105,11 @@ def run_case(
         integration=integration, num_nodes=num_nodes, dt=dt,
         goal_distance=float(np.linalg.norm(xs[-1, :3] - np.asarray(goal))),
         quaternion_drift=qnorm_drift,
+        # practical feasibility, separate from the stationarity flag in
+        # success_rate: the grid's role is to compare formulations, and a
+        # point that satisfies constraints to 0.1 with budget left over is
+        # a solved case in the reference's book too
+        feasible=bool(m["primal_inf"] < 0.1),
         wall_s=round(wall, 2),
     )
     return m, sol
@@ -103,7 +129,7 @@ def run_ablation(
     solver_config: Optional[SolverConfig] = None,
 ) -> list[dict]:
     config = config or glider_config()
-    solver_config = solver_config or SolverConfig(max_al_iters=3, max_inner_iters=15)
+    solver_config = solver_config or SolverConfig(max_al_iters=4, max_inner_iters=25)
     init = np.asarray(config.waypoints.initial_state)
     goal = init[:3] + np.array([120.0, 20.0, 10.0])
 
@@ -147,16 +173,20 @@ def run_time_mode_case(
     config: TrajectoryConfig,
     *,
     time_mode: str,
-    num_nodes: int = 30,
+    num_nodes: int = 70,
     dt: float = 0.1,
-    substeps: int = 5,
+    substeps: int = 10,
     solver_config: Optional[SolverConfig] = None,
 ) -> dict:
     """One free-time-axis case on a short two-waypoint course (role of the
-    reference grid's time ∈ {fixed, progress, variable, adaptive})."""
+    reference grid's time ∈ {fixed, progress, variable, adaptive}).
+
+    Horizon sizing matters: the course is ~240 m at ~45 m/s ≈ 5.3 s of
+    flight, so the fixed-dt horizon must cover it (70 × 0.1 s); a 30-knot
+    horizon cannot reach the second waypoint and every mode "fails"."""
     from aircraft_tpu.control import waypoints as wp
 
-    solver_config = solver_config or SolverConfig(max_al_iters=3, max_inner_iters=15)
+    solver_config = solver_config or SolverConfig(max_al_iters=5, max_inner_iters=15)
     params = AircraftParams.from_config(config.aircraft)
     init = np.asarray(config.waypoints.initial_state)
     small = TrajectoryConfig.from_dict({
@@ -186,7 +216,23 @@ def run_time_mode_case(
     jax.block_until_ready(sol.xs)
     wall = time.time() - t0
     m = solver_metrics(sol, wall)
-    m.update(time=time_mode, num_nodes=num_nodes, wall_s=round(wall, 2))
+    # the meaningful success criterion for the waypoint formulation is
+    # PASSAGE, not the raw AL residual: complementarity rows
+    # μ·(‖p−wp‖²−ν) carry squared-distance scale, so primal_inf can sit in
+    # the hundreds on a flight that threads every waypoint (the controller
+    # tests assert misses, reference tolerance semantics)
+    xs = np.asarray(sol.xs)
+    misses = [
+        float(np.linalg.norm(xs[:, :3] - w, axis=1).min())
+        for w in np.asarray(small.waypoints.array())
+    ]
+    tol = float(small.waypoints.tolerance)
+    m.update(
+        time=time_mode, num_nodes=num_nodes,
+        waypoint_misses=[round(x, 2) for x in misses],
+        passed=bool(max(misses) < 2.5 * tol),
+        wall_s=round(wall, 2),
+    )
     return m
 
 
