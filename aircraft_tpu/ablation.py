@@ -242,7 +242,7 @@ def main():
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.quick:
-        run_ablation(
+        rows = run_ablation(
             models=("default",), quaternion_modes=("integration", ""),
             substeps_grid=(1, 5), integration_modes=("explicit", "implicit"),
             time_modes=("fixed", "progress"),
@@ -250,10 +250,16 @@ def main():
             solver_config=SolverConfig(max_al_iters=2, max_inner_iters=8),
         )
     else:
-        run_ablation(
+        rows = run_ablation(
             integration_modes=INTEGRATION_MODES, time_modes=TIME_MODES,
             out_dir=args.out,
         )
+    if args.out:
+        # grid summary artifact (role of the reference's todo.md stat dumps
+        # + 175 H5 corpus, machine-readable)
+        summary = Path(args.out) / "summary.json"
+        summary.write_text(json.dumps(rows, indent=1))
+        print(f"wrote {summary}")
 
 
 if __name__ == "__main__":
