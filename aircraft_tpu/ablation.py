@@ -45,16 +45,9 @@ def _coeff(model: str):
     if model == "default":
         return DefaultCoeffParams()
     if model == "nn":
-        # trained surrogate when available (the reference grid ran its
-        # trained models, ablation.py:62-67); an untrained random MLP is
-        # aerodynamic noise — it has no trim and every case "fails"
-        mlp_path = (Path(__file__).resolve().parent.parent
-                    / "data" / "networks" / "mlp.npz")
-        if mlp_path.exists():
-            from aircraft_tpu.surrogates.models import load_mlp
+        from aircraft_tpu.dynamics.coefficients import default_nn_coeff
 
-            return load_mlp(mlp_path)
-        return MLPCoeffParams.init(jax.random.PRNGKey(0))
+        return default_nn_coeff()
     raise ValueError(model)
 
 

@@ -192,15 +192,16 @@ def solve_full_course(
     # patience > 1: the turnaround entries are marginal windows whose AL
     # residual can transiently spike and recover on the next replan;
     # device numerics (TPU bf16 matmul passes) shift exactly those windows.
-    # n_candidates: on TPU every window solves from 3 warm starts at once
-    # (a batch-3 solve is ~free on an underutilised chip) — measured
+    # n_candidates: on TPU every window solves from 6 warm starts at once
+    # (a batch-6 solve is ~free on an underutilised chip) — measured
     # necessary AND sufficient to fly the full course on v5e (misses
-    # 0.31/0.87/1.42/0.44 m, 228 windows), where single-candidate windows
+    # 0.2/0.0/2.1/0.6 m, 230 windows), where single-candidate windows
     # fall into stalling basins at the turnarounds that CPU numerics happen
-    # to avoid; on CPU a batch-3 solve costs real 3x wall and the single
-    # candidate already passes, so the default stays 1 there.
+    # to avoid (and 3 candidates still lost the second turnaround); on CPU
+    # a multi-candidate solve costs real Nx wall and the single candidate
+    # already passes, so the default stays 1 there.
     if n_candidates is None:
-        n_candidates = 3 if jax.default_backend() == "tpu" else 1
+        n_candidates = 6 if jax.default_backend() == "tpu" else 1
     # pin f32 matmul passes: TPU f32 dots default to bf16 passes, which
     # degrade the window solves enough to matter at the envelope floor
     # (measured: early-course violations 38-56 at default precision vs

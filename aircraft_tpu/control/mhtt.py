@@ -305,9 +305,9 @@ class MHTT:
 
         self._serve_step = jax.jit(_serve_step)
 
-        def _serve_step_multi(z0, us_carry, us_reset):
+        def _serve_step_multi(z0, us_carry, us_reset, n_candidates):
             # TPU-shaped robustness: the chip is underutilised at batch 1,
-            # so a window solve from SIX diverse warm starts (shifted
+            # so a window solve from up to SIX diverse warm starts (shifted
             # carry, clean trim reset, their blends, a damped carry) costs
             # barely more wall than one — and every window commits the best
             # basin found.  Marginal windows (turnaround entries near the
@@ -316,7 +316,7 @@ class MHTT:
             # fine on another (observed CPU vs TPU); candidate diversity
             # removes that sensitivity instead of chasing bit-parity.
             c = self.commit
-            us_stack = jnp.stack([
+            candidates = [
                 us_carry,
                 us_reset,
                 0.5 * (us_carry + us_reset),
@@ -324,7 +324,8 @@ class MHTT:
                 0.75 * us_carry + 0.25 * us_reset,
                 0.5 * us_carry + 0.5 * jnp.mean(us_carry, axis=0,
                                                 keepdims=True),
-            ])
+            ]
+            us_stack = jnp.stack(candidates[:n_candidates])
             z_stack = jnp.tile(z0[None], (us_stack.shape[0], 1))
             sols = ilqr.solve_batch(self.ocp, z_stack, us_stack,
                                     self.solver_config)
@@ -348,7 +349,8 @@ class MHTT:
             ])
             return z_next, us_next, blob
 
-        self._serve_step_multi = jax.jit(_serve_step_multi)
+        self._serve_step_multi = jax.jit(_serve_step_multi,
+                                         static_argnums=3)
 
     def solve_window(self, x0: jax.Array, s0: float, us_init: jax.Array) -> MHTTWindow:
         z0 = jnp.concatenate([x0, jnp.asarray([s0], dtype=x0.dtype)])
@@ -487,10 +489,11 @@ class MHTT:
         solves is committed.  Costs one extra solve only on bad windows.
 
         ``n_candidates > 1`` (requires ``us_init``): EVERY window solves
-        from 3 warm starts at once (shifted carry / trim reset / blend) as
-        one tiny batch and commits the best — near-zero marginal wall on a
-        TPU chip that is underutilised at batch 1, and it de-chaoses the
-        marginal windows instead of retrying after the fact."""
+        from up to 6 warm starts at once (shifted carry, trim reset,
+        blends, damped carry) as one tiny batch and commits the best —
+        near-zero marginal wall on a TPU chip that is underutilised at
+        batch 1, and it de-chaoses the marginal windows instead of
+        retrying after the fact."""
         us = (jnp.zeros((self.N, 7), dtype=jnp.float32) if us_init is None
               else jnp.asarray(us_init, dtype=jnp.float32))
         x = jnp.asarray(x0, dtype=jnp.float32)
@@ -512,7 +515,8 @@ class MHTT:
             # arrives in one packed blob (see _serve_step)
             if n_candidates > 1 and us_init is not None:
                 z_new, us_new, blob = self._serve_step_multi(
-                    z, us, jnp.asarray(us_init, dtype=jnp.float32))
+                    z, us, jnp.asarray(us_init, dtype=jnp.float32),
+                    min(int(n_candidates), 6))
                 host = np.asarray(blob)
             else:
                 z_new, us_new, blob = self._serve_step(z, us)

@@ -457,3 +457,33 @@ def load_coefficient_model(kind: str, path=None):
 
         return load_mlp(path)
     raise ValueError(f"unknown coefficient model kind: {kind}")
+
+
+def default_nn_coeff(path=None):
+    """The canonical 'nn' model for harnesses: the trained surrogate at
+    ``data/networks/mlp.npz`` when present (the reference grid ran ITS
+    trained models), else a randomly-initialised MLP with plausible
+    input/output scalings (an unscaled random MLP is aerodynamic noise —
+    it has no trim and poisons every solve that uses it).  Single source
+    for bench.py and ablation.py, which previously each hard-coded the
+    lookup with DIFFERENT fallbacks."""
+    import os
+
+    import jax
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            "data", "networks", "mlp.npz",
+        )
+    if os.path.exists(str(path)):
+        from aircraft_tpu.surrogates.models import load_mlp
+
+        return load_mlp(path)
+    return MLPCoeffParams.init(jax.random.PRNGKey(0)).replace(
+        input_mean=jnp.asarray([1500.0, 0.0, 0.0, 0.0, 0.0]),
+        input_std=jnp.asarray([1000.0, 0.15, 0.15, 3.0, 3.0]),
+        output_mean=jnp.asarray([-0.05, 0.0, -0.4, 0.0, 0.0, 0.0]),
+        output_std=jnp.asarray([0.05, 0.05, 0.3, 0.03, 0.1, 0.01]),
+    )

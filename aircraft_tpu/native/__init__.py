@@ -18,40 +18,49 @@ import numpy as np
 
 _DIR = Path(os.path.dirname(os.path.abspath(__file__)))
 _LOCK = threading.Lock()
-_LIB: Optional[ctypes.CDLL] = None
-_BUILD_FAILED = False
+_LIBS: dict = {}
+_FAILED: set = set()
 
 
-def _build() -> Optional[ctypes.CDLL]:
-    so = _DIR / "libdubins.so"
-    src = _DIR / "dubins.cpp"
-    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
-        cmd = [
-            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-            "-o", str(so), str(src), "-lpthread",
-        ]
-        subprocess.run(cmd, check=True, capture_output=True)
-    lib = ctypes.CDLL(str(so))
+def build_native_lib(stem: str, configure) -> Optional[ctypes.CDLL]:
+    """Lazily g++-build ``native/<stem>.cpp`` into ``lib<stem>.so``, load it,
+    and run ``configure(lib)`` to declare argtypes.  Cached per stem; a
+    build/load failure is remembered and returns None (callers fall back to
+    pure Python).  Shared by every native engine in this package."""
+    with _LOCK:
+        if stem in _LIBS:
+            return _LIBS[stem]
+        if stem in _FAILED:
+            return None
+        try:
+            so = _DIR / f"lib{stem}.so"
+            src = _DIR / f"{stem}.cpp"
+            if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     "-o", str(so), str(src), "-lpthread"],
+                    check=True, capture_output=True,
+                )
+            lib = ctypes.CDLL(str(so))
+            configure(lib)
+            _LIBS[stem] = lib
+            return lib
+        except Exception:
+            _FAILED.add(stem)
+            return None
+
+
+def _configure_dubins(lib) -> None:
     dp = ctypes.POINTER(ctypes.c_double)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.dubins_shortest_batch.argtypes = [dp, dp, dp, dp, ctypes.c_int, dp, u8p]
     lib.dubins_shortest_batch.restype = None
     lib.dubins_sample_batch.argtypes = [dp, dp, dp, ctypes.c_int, ctypes.c_int, dp]
     lib.dubins_sample_batch.restype = None
-    return lib
 
 
 def _get_lib() -> Optional[ctypes.CDLL]:
-    global _LIB, _BUILD_FAILED
-    if _LIB is not None or _BUILD_FAILED:
-        return _LIB
-    with _LOCK:
-        if _LIB is None and not _BUILD_FAILED:
-            try:
-                _LIB = _build()
-            except Exception:
-                _BUILD_FAILED = True
-    return _LIB
+    return build_native_lib("dubins", _configure_dubins)
 
 
 def native_available() -> bool:

@@ -41,8 +41,9 @@ struct Recorder {
 
   // ring buffer of capacity*rec_floats doubles; [tail, tail+count) live
   std::vector<double> ring;
-  size_t tail = 0;   // oldest record index
-  size_t count = 0;  // live records
+  size_t tail = 0;      // oldest record index
+  size_t count = 0;     // live records
+  size_t inflight = 0;  // records copied out by the writer, fwrite pending
 
   std::atomic<uint64_t> written{0};
   std::atomic<uint64_t> dropped{0};
@@ -74,15 +75,23 @@ void writer_loop(Recorder* r) {
         const double* src = r->ring.data() + idx * rf;
         chunk.insert(chunk.end(), src, src + rf);
       }
+      // free the slots for producers immediately (the chunk is a copy),
+      // but account the records as in-flight until fwrite completes so
+      // tel_flush cannot return before the data reaches the FILE
       r->tail = (r->tail + n) % r->capacity;
       r->count = 0;
-      r->cv_space.notify_all();
+      r->inflight = n;
     }
     if (n > 0) {
       fwrite(chunk.data(), sizeof(double),
              n * static_cast<size_t>(r->rec_floats), r->f);
       r->written.fetch_add(n, std::memory_order_relaxed);
     }
+    {
+      std::lock_guard<std::mutex> lk(r->mu);
+      r->inflight = 0;
+    }
+    r->cv_space.notify_all();
   }
   fflush(r->f);
 }
@@ -138,13 +147,14 @@ long tel_push(void* h, const double* recs, long n) {
   return static_cast<long>(accepted);
 }
 
-// Block until everything pushed so far is on disk (ring drained + fflush).
+// Block until everything pushed so far is on disk (ring drained, pending
+// fwrite completed, fflush).
 void tel_flush(void* h) {
   auto* r = static_cast<Recorder*>(h);
   if (!r) return;
   {
     std::unique_lock<std::mutex> lk(r->mu);
-    r->cv_space.wait(lk, [r] { return r->count == 0; });
+    r->cv_space.wait(lk, [r] { return r->count == 0 && r->inflight == 0; });
   }
   fflush(r->f);
 }

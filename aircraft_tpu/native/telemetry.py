@@ -17,35 +17,20 @@ Binary format (shared by both backends):
 from __future__ import annotations
 
 import ctypes
-import os
 import queue
 import struct
-import subprocess
 import threading
-from pathlib import Path
 from typing import Optional, Tuple
 
 import numpy as np
 
-_DIR = Path(os.path.dirname(os.path.abspath(__file__)))
-_LOCK = threading.Lock()
-_LIB: Optional[ctypes.CDLL] = None
-_BUILD_FAILED = False
+from aircraft_tpu.native import build_native_lib
 
 _MAGIC = b"ATPTLOG1"
 _VERSION = 1
 
 
-def _build() -> Optional[ctypes.CDLL]:
-    so = _DIR / "libtelemetry.so"
-    src = _DIR / "telemetry.cpp"
-    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
-        cmd = [
-            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-            "-o", str(so), str(src), "-lpthread",
-        ]
-        subprocess.run(cmd, check=True, capture_output=True)
-    lib = ctypes.CDLL(str(so))
+def _configure(lib) -> None:
     dp = ctypes.POINTER(ctypes.c_double)
     lp = ctypes.POINTER(ctypes.c_long)
     lib.tel_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_long]
@@ -58,20 +43,10 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.tel_stats.restype = None
     lib.tel_close.argtypes = [ctypes.c_void_p]
     lib.tel_close.restype = None
-    return lib
 
 
 def _get_lib() -> Optional[ctypes.CDLL]:
-    global _LIB, _BUILD_FAILED
-    if _LIB is not None or _BUILD_FAILED:
-        return _LIB
-    with _LOCK:
-        if _LIB is None and not _BUILD_FAILED:
-            try:
-                _LIB = _build()
-            except Exception:
-                _BUILD_FAILED = True
-    return _LIB
+    return build_native_lib("telemetry", _configure)
 
 
 def native_available() -> bool:
@@ -79,18 +54,25 @@ def native_available() -> bool:
 
 
 class _PyBackend:
-    """Fallback: same drop-not-block semantics via a bounded queue and a
-    writer thread; identical on-disk format."""
+    """Fallback: same drop-not-block semantics via a bounded in-memory
+    record budget and a writer thread; identical on-disk format.
+
+    Matches the native backend's contracts: ``capacity`` bounds buffered
+    RECORDS (not push calls), pushes are snapshotted (caller may reuse its
+    buffer), counters are lock-protected for concurrent producers, and
+    ``flush`` uses Queue.join so it cannot return while an item is still
+    queued or being written."""
 
     def __init__(self, path: str, rec_floats: int, capacity: int):
         self.rec_floats = rec_floats
+        self.capacity = capacity
         self._f = open(path, "wb")
         self._f.write(_MAGIC + struct.pack("<II", _VERSION, rec_floats))
-        self._q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(capacity)
+        self._q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue()
+        self._mu = threading.Lock()
+        self._queued = 0       # records in the queue (the capacity budget)
         self.written = 0
         self.dropped = 0
-        self._drained = threading.Event()
-        self._drained.set()
         self._t = threading.Thread(target=self._loop, daemon=True)
         self._t.start()
 
@@ -98,29 +80,34 @@ class _PyBackend:
         while True:
             item = self._q.get()
             if item is None:
+                self._q.task_done()
                 break
-            item.astype("<f8", copy=False).tofile(self._f)
-            self.written += len(item)
-            if self._q.empty():
-                self._drained.set()
+            item.tofile(self._f)
+            with self._mu:
+                self.written += len(item)
+                self._queued -= len(item)
+            self._q.task_done()
 
     def push(self, recs: np.ndarray) -> int:
-        try:
-            self._drained.clear()
-            self._q.put_nowait(recs)
-            return len(recs)
-        except queue.Full:
-            self.dropped += len(recs)
-            if self._q.empty():
-                self._drained.set()
-            return 0
+        n = len(recs)
+        with self._mu:
+            space = self.capacity - self._queued
+            accept = min(n, max(space, 0))
+            self._queued += accept
+            self.dropped += n - accept
+        if accept > 0:
+            # snapshot (native memcpy's at push time too): the caller may
+            # mutate its buffer immediately after push returns
+            self._q.put(np.array(recs[:accept], dtype="<f8"))
+        return accept
 
     def flush(self):
-        self._drained.wait()
+        self._q.join()
         self._f.flush()
 
     def stats(self) -> Tuple[int, int]:
-        return self.written, self.dropped
+        with self._mu:
+            return self.written, self.dropped
 
     def close(self):
         self._q.put(None)

@@ -269,21 +269,11 @@ def _build_problem():
     """Shared problem setup: the N=50 MHTT window OCP on the reference
     glider course with the NN surrogate (same construction as main())."""
     cfg = glider_config()
-    mlp_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "data", "networks", "mlp.npz")
-    if os.path.exists(mlp_path):
-        # surrogate trained from the reference wind-tunnel CSV
-        # (examples/fit_surrogates.py)
-        from aircraft_tpu.surrogates.models import load_mlp
+    # trained surrogate from the reference wind-tunnel CSV when present
+    # (examples/fit_surrogates.py); plausibly-scaled random MLP otherwise
+    from aircraft_tpu.dynamics.coefficients import default_nn_coeff
 
-        coeff = load_mlp(mlp_path)
-    else:
-        coeff = MLPCoeffParams.init(jax.random.PRNGKey(0)).replace(
-            input_mean=jnp.asarray([1500.0, 0.0, 0.0, 0.0, 0.0]),
-            input_std=jnp.asarray([1000.0, 0.15, 0.15, 3.0, 3.0]),
-            output_mean=jnp.asarray([-0.05, 0.0, -0.4, 0.0, 0.0, 0.0]),
-            output_std=jnp.asarray([0.05, 0.05, 0.3, 0.03, 0.1, 0.01]),
-        )
+    coeff = default_nn_coeff()
     if os.environ.get("BENCH_COEFF") == "taylor":
         # the reference's own real-time MPC mode (RealTimeL4CasADi,
         # coefficient_models.py:93-104): the NN enters the window solve as
