@@ -576,52 +576,89 @@ def bench_serve():
         return xs14, us_c, cost, viol, progress
 
     log_path = os.path.join(tempfile.gettempdir(), "aircraft_tpu_serve.bin")
-    solve_walls, copy_walls, tel_walls = [], [], []
+    # BENCH_PIPELINE=1 (default): dispatch window w+1 BEFORE pulling window
+    # w's commit blob — the warm-start carry is already on device, so the
+    # D2H commit transfer (+ unpack + telemetry push) rides UNDER the next
+    # solve instead of on the critical path.  The reported per-window
+    # latency is then the commit CADENCE (time between consecutive windows'
+    # host-side commit availability), which is what the actuator pipeline
+    # actually experiences.  BENCH_PIPELINE=0 keeps the strictly
+    # synchronous loop with a solve/copy/telemetry breakdown.
+    pipelined = os.environ.get("BENCH_PIPELINE", "1") != "0"
+    solve_walls, copy_walls, tel_walls, cadence = [], [], [], []
     with tel.TelemetryRecorder(log_path, tel.FLIGHT_REC_FLOATS,
                                capacity=1 << 16) as rec:
-        for w in range(n_windows):
-            t0 = time.time()
-            x, us, blob = step(x, us)
-            blob.block_until_ready()
-            t1 = time.time()
-            solve_walls.append(t1 - t0)
+        if pipelined:
+            x_n, us_n, blob_n = step(x, us)    # dispatch window 0
+            t_prev = time.time()
+            for w in range(n_windows):
+                x, us, blob = x_n, us_n, blob_n
+                # dispatch w+1 from the on-device carry, THEN pull w
+                x_n, us_n, blob_n = step(x, us)
+                host = np.asarray(blob)        # overlaps with solve w+1
+                xs14, us_c, cost, viol, progress = _unpack(host)
+                rec.push(tel.flight_records(
+                    w, xs14[:, :13], us_c, xs14[:, 13], cost, viol,
+                ))
+                t_now = time.time()
+                cadence.append(t_now - t_prev)
+                t_prev = t_now
+        else:
+            for w in range(n_windows):
+                t0 = time.time()
+                x, us, blob = step(x, us)
+                blob.block_until_ready()
+                t1 = time.time()
+                solve_walls.append(t1 - t0)
 
-            host = np.asarray(blob)            # the ONE commit transfer
-            t2 = time.time()
-            copy_walls.append(t2 - t1)
+                host = np.asarray(blob)        # the ONE commit transfer
+                t2 = time.time()
+                copy_walls.append(t2 - t1)
 
-            xs14, us_c, cost, viol, progress = _unpack(host)
-            rec.push(tel.flight_records(
-                w, xs14[:, :13], us_c, xs14[:, 13], cost, viol,
-            ))
-            tel_walls.append(time.time() - t2)
+                xs14, us_c, cost, viol, progress = _unpack(host)
+                rec.push(tel.flight_records(
+                    w, xs14[:, :13], us_c, xs14[:, 13], cost, viol,
+                ))
+                t3 = time.time()
+                tel_walls.append(t3 - t2)
+                cadence.append(t3 - t0)
         rec.flush()
         written, dropped = rec.stats()
         backend = rec.backend
 
-    solve_walls = np.asarray(solve_walls)
-    totals = solve_walls + np.asarray(copy_walls) + np.asarray(tel_walls)
+    totals = np.asarray(cadence)
     misses = int(np.sum(totals > deadline))
+    breakdown = {}
+    if not pipelined:
+        breakdown = {
+            "solve_p50_ms": round(
+                float(np.percentile(np.asarray(solve_walls), 50)) * 1e3, 2
+            ),
+            "commit_copy_p50_ms": round(
+                float(np.percentile(np.asarray(copy_walls), 50)) * 1e3, 2
+            ),
+            # in pipelined mode the telemetry push is off the critical path
+            # (it overlaps the next solve), so its split is only measured
+            # in the synchronous loop
+            "telemetry_push_p50_us": round(
+                float(np.percentile(np.asarray(tel_walls), 50)) * 1e6, 1
+            ),
+        }
     print(json.dumps({
         "metric": "serve_deadline_miss_rate_N50",
         "value": round(misses / n_windows, 4),
         "unit": "fraction",
         "vs_baseline": round(deadline / float(np.percentile(totals, 50)), 2),
         "windows": n_windows,
+        "pipelined": pipelined,
         "deadline_ms": deadline * 1e3,
         "p50_ms": round(float(np.percentile(totals, 50)) * 1e3, 2),
         "p99_ms": round(float(np.percentile(totals, 99)) * 1e3, 2),
         "max_ms": round(float(totals.max()) * 1e3, 2),
-        "solve_p50_ms": round(float(np.percentile(solve_walls, 50)) * 1e3, 2),
-        "commit_copy_p50_ms": round(
-            float(np.percentile(copy_walls, 50)) * 1e3, 2
-        ),
+        **breakdown,
         "telemetry_backend": backend,
         "telemetry_records": written,
         "telemetry_dropped": dropped,
-        "telemetry_push_p50_us": round(
-            float(np.percentile(tel_walls, 50)) * 1e6, 1
-        ),
         "compile_wall_s": round(compile_wall, 1),
         "final_progress": round(float(progress), 4),
         "device": str(jax.devices()[0]),

@@ -86,6 +86,25 @@ class TestMHTT:
         assert np.all(np.isfinite(out["states"]))
         assert out["progress"] > 0.0
 
+    def test_pipelined_run_matches_synchronous(self):
+        """pipeline=True only overlaps the commit D2H pull with the next
+        window's solve — the solves themselves are identical programs on
+        identical inputs, so the committed trajectory must be bit-equal."""
+        cfg = short_course_config()
+        params = AircraftParams.from_config(cfg.aircraft)
+        track = DubinsInitialiser(cfg)
+        mhtt = MHTT(
+            params, cfg, track, num_nodes=25, dt=0.02, overlap=15, substeps=2,
+            solver_config=SolverConfig(max_al_iters=1, max_inner_iters=6),
+        )
+        x0 = jnp.asarray(cfg.waypoints.initial_state, dtype=jnp.float32)
+        a = mhtt.run(x0, max_windows=3, progress_target=2.0, pipeline=True)
+        b = mhtt.run(x0, max_windows=3, progress_target=2.0, pipeline=False)
+        assert a["windows"] == b["windows"] == 3
+        np.testing.assert_array_equal(a["states"], b["states"])
+        np.testing.assert_array_equal(a["controls"], b["controls"])
+        assert a["progress"] == b["progress"]
+
 
 class TestMHTTScanChain:
     def test_scan_chain_matches_host_loop(self):
