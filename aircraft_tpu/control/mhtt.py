@@ -459,7 +459,7 @@ class MHTT:
         verbose: bool = False,
         recorder=None,
         abort_violation: float = 50.0,
-        abort_patience: int = 1,
+        abort_patience: int = 2,
         n_candidates: int = 1,
         pipeline: bool = True,
     ) -> dict:
@@ -480,7 +480,8 @@ class MHTT:
         window (e.g. an aggressive turnaround entry) routinely recovers on
         the next replan — with patience 1 a transient spike kills an
         otherwise-flyable mission (observed on TPU, where matmul-precision
-        differences perturb exactly those marginal windows).
+        differences perturb exactly those marginal windows), hence the
+        hardware-validated default of 2.
 
         Retry policy (SURVEY §5.3: bounded retries with reset
         initialisation): a window whose violation exceeds
@@ -529,7 +530,14 @@ class MHTT:
                     min(int(n_candidates), 6))
             return self._serve_step(z_c, us_c_)
 
-        pending = _dispatch(z, us) if pipeline else None
+        # guard the speculative pre-loop dispatch with the loop condition —
+        # a call that would not enter the loop must not pay a window solve
+        # (on the TPU tunnel that can be a multi-minute first compile)
+        pending = (
+            _dispatch(z, us)
+            if pipeline and s < progress_target and max_windows > 0
+            else None
+        )
 
         while s < progress_target and windows < max_windows:
             if pipeline:

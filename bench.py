@@ -593,8 +593,12 @@ def bench_serve():
             t_prev = time.time()
             for w in range(n_windows):
                 x, us, blob = x_n, us_n, blob_n
-                # dispatch w+1 from the on-device carry, THEN pull w
-                x_n, us_n, blob_n = step(x, us)
+                # dispatch w+1 from the on-device carry, THEN pull w —
+                # except after the final window (a speculative solve whose
+                # blob is never pulled would burn a full window solve on
+                # the single shared chip)
+                if w + 1 < n_windows:
+                    x_n, us_n, blob_n = step(x, us)
                 host = np.asarray(blob)        # overlaps with solve w+1
                 xs14, us_c, cost, viol, progress = _unpack(host)
                 rec.push(tel.flight_records(
@@ -644,8 +648,14 @@ def bench_serve():
                 float(np.percentile(np.asarray(tel_walls), 50)) * 1e6, 1
             ),
         }
+    # distinct metric names: the pipelined loop's per-window number is the
+    # commit CADENCE (time between consecutive host-side commits), not the
+    # end-to-end solve+copy latency of the synchronous loop — folding the
+    # mode into the metric string keeps historical comparisons like-for-like
+    metric_name = ("serve_cadence_miss_rate_N50" if pipelined
+                   else "serve_deadline_miss_rate_N50")
     print(json.dumps({
-        "metric": "serve_deadline_miss_rate_N50",
+        "metric": metric_name,
         "value": round(misses / n_windows, 4),
         "unit": "fraction",
         "vs_baseline": round(deadline / float(np.percentile(totals, 50)), 2),

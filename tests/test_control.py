@@ -105,6 +105,35 @@ class TestMHTT:
         np.testing.assert_array_equal(a["controls"], b["controls"])
         assert a["progress"] == b["progress"]
 
+    def test_pipelined_retry_path_matches_synchronous(self):
+        """The trickiest pipelined branch: a retry (us_init reset beats the
+        carry on a high-violation window) discards the speculative dispatch
+        and re-dispatches from the accepted carry (mhtt.py retry policy).
+        An abort_violation of 0 forces the retry comparison on EVERY
+        window; commits and retry counts must still match the synchronous
+        loop bit-for-bit."""
+        cfg = short_course_config()
+        params = AircraftParams.from_config(cfg.aircraft)
+        track = DubinsInitialiser(cfg)
+        mhtt = MHTT(
+            params, cfg, track, num_nodes=25, dt=0.02, overlap=15, substeps=2,
+            solver_config=SolverConfig(max_al_iters=1, max_inner_iters=6),
+        )
+        x0 = jnp.asarray(cfg.waypoints.initial_state, dtype=jnp.float32)
+        us_init = jnp.tile(
+            jnp.asarray([0.0, 0.5, 0, 0, 0, 0, 0], dtype=jnp.float32)[None],
+            (25, 1),
+        )
+        kw = dict(max_windows=3, progress_target=2.0, us_init=us_init,
+                  abort_violation=0.0, abort_patience=100)
+        a = mhtt.run(x0, pipeline=True, **kw)
+        b = mhtt.run(x0, pipeline=False, **kw)
+        assert a["windows"] == b["windows"] == 3
+        assert a["retries"] == b["retries"] > 0
+        np.testing.assert_array_equal(a["states"], b["states"])
+        np.testing.assert_array_equal(a["controls"], b["controls"])
+        assert a["progress"] == b["progress"]
+
 
 class TestMHTTScanChain:
     def test_scan_chain_matches_host_loop(self):

@@ -70,45 +70,23 @@ class TestLQRParity:
 
 
 def quad_ocp(target, N, dt, thrust_max=10.0):
-    """Quadrotor point-to-point with bounded thrusts (the reference's
-    quadrotor OCP smoke test, reference control/quadrotor.py:14-41)."""
-    params = QuadrotorParams.default()
-    step = integrators.make_step_fn(
-        params, substeps=1, normalize="step",
-        derivative_fn=lambda x, u: quadrotor.state_derivative(params, x, u),
-    )
-    target = jnp.asarray(target)
+    """Quadrotor point-to-point OCP — now the package module
+    (aircraft_tpu/control/quadrotor.py, reference control/quadrotor.py:14-41)."""
+    from aircraft_tpu.control.quadrotor import build_quadrotor_ocp
 
-    def stage_cost(x, u, k):
-        return 0.1 * dt * jnp.sum(u * u) + 1e-4 * jnp.sum((x[:3] - target) ** 2)
-
-    def terminal_cost(x):
-        return 100.0 * jnp.sum((x[:3] - target) ** 2) + 10.0 * jnp.sum(x[3:6] ** 2)
-
-    def ineq(x, u, k):
-        # 0 <= u <= thrust_max  (reference bounds [0, 10])
-        return jnp.concatenate([u - thrust_max, -u])
-
-    return OCPFunctions(
-        step=lambda x, u, k: step(x, u, dt),
-        stage_cost=stage_cost,
-        terminal_cost=terminal_cost,
-        ineq=ineq,
-    )
+    return build_quadrotor_ocp(target, dt=dt, thrust_max=thrust_max)
 
 
 class TestQuadrotor:
     def test_point_to_point(self):
+        from aircraft_tpu.control.quadrotor import solve_quadrotor_control
+
         N, dt = 60, 0.05
         target = np.array([5.0, 3.0, -8.0], dtype=np.float32)
-        ocp = quad_ocp(target, N, dt)
-        # thrust acts along +z BODY (reference quadrotor.py:42-44), so start
-        # rolled 180° (q = [1,0,0,0] xyzw) so thrust opposes NED gravity
-        x0 = jnp.zeros(13).at[6].set(1.0)
-        # hover-ish init within bounds
-        us0 = jnp.full((N, 4), 9.81 / 4.0)
-        cfg = SolverConfig(max_al_iters=6, max_inner_iters=25)
-        sol = ilqr.solve(ocp, x0, us0, cfg)
+        sol = solve_quadrotor_control(
+            target, num_nodes=N, dt=dt,
+            solver_config=SolverConfig(max_al_iters=6, max_inner_iters=25),
+        )
         final_pos = np.asarray(sol.xs[-1, :3])
         assert np.linalg.norm(final_pos - target) < 0.2, final_pos
         us = np.asarray(sol.us)
@@ -130,32 +108,10 @@ class TestQuadrotor:
 
 
 def quad_ocp_dynamic(N, dt, thrust_max=10.0):
-    """Quadrotor OCP with the target supplied via the augmented state tail
-    (constant under the dynamics) so one compiled solve serves any target."""
-    params = QuadrotorParams.default()
-    step13 = integrators.make_step_fn(
-        params, substeps=1, normalize="step",
-        derivative_fn=lambda x, u: quadrotor.state_derivative(params, x, u),
-    )
+    """Target-in-state variant — package module build_quadrotor_ocp_dynamic."""
+    from aircraft_tpu.control.quadrotor import build_quadrotor_ocp_dynamic
 
-    def step(z, u, k):
-        x, tgt = z[:13], z[13:]
-        return jnp.concatenate([step13(x, u, dt), tgt])
-
-    def stage_cost(z, u, k):
-        x, tgt = z[:13], z[13:]
-        return 0.1 * dt * jnp.sum(u * u) + 1e-4 * jnp.sum((x[:3] - tgt) ** 2)
-
-    def terminal_cost(z):
-        x, tgt = z[:13], z[13:]
-        return 100.0 * jnp.sum((x[:3] - tgt) ** 2) + 10.0 * jnp.sum(x[3:6] ** 2)
-
-    def ineq(z, u, k):
-        return jnp.concatenate([u - thrust_max, -u])
-
-    return OCPFunctions(
-        step=step, stage_cost=stage_cost, terminal_cost=terminal_cost, ineq=ineq
-    )
+    return build_quadrotor_ocp_dynamic(dt=dt, thrust_max=thrust_max)
 
 
 _QUAD_DYNAMIC_CACHE = {}

@@ -69,29 +69,11 @@ class TestOracleValidation:
 
 
 def _quad_ocp(target, dt, thrust_max=10.0):
-    """The reference quadrotor OCP (reference control/quadrotor.py:14-41)."""
-    params = QuadrotorParams.default()
-    step = integrators.make_step_fn(
-        params, substeps=1, normalize="step",
-        derivative_fn=lambda x, u: quadrotor.state_derivative(params, x, u),
-    )
-    target = jnp.asarray(target)
+    """The reference quadrotor OCP (reference control/quadrotor.py:14-41),
+    from the package module."""
+    from aircraft_tpu.control.quadrotor import build_quadrotor_ocp
 
-    def stage_cost(x, u, k):
-        return 0.1 * dt * jnp.sum(u * u) + 1e-4 * jnp.sum((x[:3] - target) ** 2)
-
-    def terminal_cost(x):
-        return 100.0 * jnp.sum((x[:3] - target) ** 2) + 10.0 * jnp.sum(x[3:6] ** 2)
-
-    def ineq(x, u, k):
-        return jnp.concatenate([u - thrust_max, -u])
-
-    return OCPFunctions(
-        step=lambda x, u, k: step(x, u, dt),
-        stage_cost=stage_cost,
-        terminal_cost=terminal_cost,
-        ineq=ineq,
-    )
+    return build_quadrotor_ocp(target, dt=dt, thrust_max=thrust_max)
 
 
 class TestSolverParity:
