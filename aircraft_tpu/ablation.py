@@ -26,29 +26,25 @@ import numpy as np
 from aircraft_tpu.config import SolverConfig, TrajectoryConfig, glider_config
 from aircraft_tpu.control.aircraft import build_aircraft_ocp, goal_cost
 from aircraft_tpu.dynamics.aircraft import AircraftParams
-from aircraft_tpu.dynamics.coefficients import (
-    DefaultCoeffParams,
-    MLPCoeffParams,
-)
 from aircraft_tpu.observability import solver_metrics
 from aircraft_tpu.solvers import ilqr
 from aircraft_tpu.utils import TrajectoryData
 
 QUATERNION_MODES = ("integration", "expmap", "")
 SUBSTEPS = (1, 5, 10)
-MODELS = ("default", "nn")
+# full reference model axis: the reference grid swept {default, linear,
+# poly} (reference main/control/ablation.py:62-67) and this framework adds
+# the nn surrogate (the reference ran it separately via L4CasADi); the
+# fitted linear/poly artifacts live in data/networks/ (fit_surrogates.py)
+MODELS = ("default", "linear", "poly", "nn")
 INTEGRATION_MODES = ("explicit", "implicit")
 TIME_MODES = ("fixed", "progress", "variable", "adaptive")
 
 
 def _coeff(model: str):
-    if model == "default":
-        return DefaultCoeffParams()
-    if model == "nn":
-        from aircraft_tpu.dynamics.coefficients import default_nn_coeff
+    from aircraft_tpu.dynamics.coefficients import default_artifact_coeff
 
-        return default_nn_coeff()
-    raise ValueError(model)
+    return default_artifact_coeff(model)
 
 
 def run_case(

@@ -95,6 +95,30 @@ def envelope_ineq(
     return ineq
 
 
+def envelope_registry(n_controls: int = 7):
+    """ConstraintRegistry describing `envelope_ineq`'s row layout — maps a
+    violation row index back to its meaning (the reference auto-described
+    each Opti row, reference control/base.py:228-265; its per-solve log
+    printed active constraints BY NAME with duals, control/aircraft.py:120-135)."""
+    from aircraft_tpu.observability import ConstraintRegistry
+
+    names = ["aileron", "elevator", "rudder", "thrust_x", "thrust_y",
+             "thrust_z", "flaps"][:n_controls]
+    reg = ConstraintRegistry()
+    for n in names:
+        reg.register(f"{n}_upper", 1)
+    for n in names:
+        reg.register(f"{n}_lower", 1)
+    reg.register("airspeed_floor", 1)   # lo² − v²  [m²/s²]
+    reg.register("airspeed_ceiling", 1)  # v² − hi²  [m²/s²]
+    reg.register("beta_upper", 1)        # [rad]
+    reg.register("beta_lower", 1)
+    reg.register("alpha_upper", 1)
+    reg.register("alpha_lower", 1)
+    reg.register("altitude_floor", 1)    # z < 0 (NED)
+    return reg
+
+
 def goal_cost(
     goal: jax.Array,
     *,

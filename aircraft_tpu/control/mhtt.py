@@ -352,6 +352,24 @@ class MHTT:
         self._serve_step_multi = jax.jit(_serve_step_multi,
                                          static_argnums=3)
 
+    def diagnose_window(self, z0: jax.Array, us: jax.Array) -> dict:
+        """Full post-mortem of one window solve (the reference's
+        `AircraftControl.log` diagnostics, reference control/aircraft.py:81-147):
+        re-solves the window to recover the complete ILQRSolution (the
+        serving path only pulls a packed blob) and reports active
+        constraints with duals, Quu conditioning, defects, and envelope
+        traces.  Costs one extra solve — called only off the hot path
+        (the abort handler, or interactively)."""
+        from aircraft_tpu import observability as obs
+        from aircraft_tpu.control.aircraft import envelope_registry
+
+        sol = self._solve(jnp.asarray(z0, jnp.float32),
+                          jnp.asarray(us, jnp.float32))
+        report = obs.diagnose(sol, self.ocp, registry=envelope_registry(),
+                              params=self.params)
+        report["text"] = obs.format_diagnosis(report)
+        return report
+
     def solve_window(self, x0: jax.Array, s0: float, us_init: jax.Array) -> MHTTWindow:
         z0 = jnp.concatenate([x0, jnp.asarray([s0], dtype=x0.dtype)])
         sol = self._solve(z0, us_init)
@@ -462,6 +480,7 @@ class MHTT:
         abort_patience: int = 2,
         n_candidates: int = 1,
         pipeline: bool = True,
+        diagnose_on_abort: bool = True,
     ) -> dict:
         """Closed-loop MPC until the track is consumed
         (reference main/mhe/mhtt.py:79-124).  ``us_init`` seeds the first
@@ -519,6 +538,7 @@ class MHTT:
         viol_streak = 0
         retries = 0
         abort_reason = None
+        diagnosis = None
         verbose_every = 1 if (isinstance(verbose, int) and verbose > 1) else 10
 
         def _dispatch(z_c, us_c_):
@@ -580,6 +600,10 @@ class MHTT:
             if finite != 1.0:
                 success = False
                 abort_reason = "divergence"
+                if diagnose_on_abort:
+                    # re-solve the failed window for the full solution and
+                    # let it explain itself (reference AircraftControl.log)
+                    diagnosis = self.diagnose_window(z, us)
                 break
             viol_streak = viol_streak + 1 if violation > abort_violation else 0
             if viol_streak >= abort_patience:
@@ -588,6 +612,8 @@ class MHTT:
                     f"violation_streak ({viol_streak} windows > "
                     f"{abort_violation}, last {violation:.1f})"
                 )
+                if diagnose_on_abort:
+                    diagnosis = self.diagnose_window(z, us)
                 break
             # commit the non-overlap prefix
             committed_controls.append(us_c)
@@ -616,5 +642,6 @@ class MHTT:
             "windows": windows,
             "success": success and s >= progress_target,
             "abort_reason": abort_reason,
+            "diagnosis": diagnosis,
             "retries": retries,
         }

@@ -511,7 +511,7 @@ def solve_time_optimal(
     if best is None:
         best = int(np.argmin(dmins.max(axis=-1)))
     return {
-        "solution": ilqr.ILQRSolution(*(np.asarray(t[best]) for t in sols)),
+        "solution": jax.tree.map(lambda t: np.asarray(t[best]), sols),
         "dt": float(dts[best]),
         "total_time": float(T[best]),
         "feasible": feasible,

@@ -128,10 +128,28 @@ def maneuver3d(
     qf = np.asarray(qf, dtype=float)
 
     best: Optional[DubinsManeuver3D] = None
+    best_mult = None
     for mult in np.geomspace(1.01, 40.0, n_radius_search):
         m = _try_maneuver(qi, qf, rho, rho * mult, pitch_limits)
         if m is not None and (best is None or m.length < best.length):
-            best = m
+            best, best_mult = m, mult
+    if best is None:
+        return None
+    # local refinement around the coarse winner (the reference runs an
+    # adaptive-step local optimisation over the radius multiplier,
+    # reference dubins3d.py:86-100) — closes the ~1-3% length gap the
+    # coarse geomspace leaves on the reference's own scenarios
+    step = best_mult * 0.25
+    while step > 1e-6 * best_mult:
+        improved = False
+        for cand in (best_mult - step, best_mult + step):
+            if cand <= 1.0:
+                continue
+            m = _try_maneuver(qi, qf, rho, rho * cand, pitch_limits)
+            if m is not None and m.length < best.length:
+                best, best_mult, improved = m, cand, True
+        if not improved:
+            step *= 0.5
     return best
 
 
@@ -170,8 +188,13 @@ def lower_bound(
     projects onto a smaller horizontal circle) and fly the vertical plane at
     the full curvature budget rho — each plane individually optimistic, so
     the composition cannot exceed the true optimum
-    (reference dubins3d.py:154-188).  Returns 0.0 when the vertical profile
-    is infeasible (the reference's degenerate-case answer)."""
+    (reference dubins3d.py:154-188).  When the exact vertical profile
+    leaves the pitch envelope, falls back to the pitch-CLAMPED CSC
+    construction (dubins/vertical.py — the reference's `Vertical` plays
+    exactly this role in its getLowerBound): the clamped profile matches
+    Δz at the envelope's steepest legal slope, so its length still
+    under-estimates any feasible 3D maneuver.  Returns 0.0 only when even
+    the clamped profile cannot be built."""
     qi = np.asarray(qi, dtype=float)
     qf = np.asarray(qf, dtype=float)
     spiral_radius = rho * np.cos(max(-pitch_limits[0], pitch_limits[1])) ** 2
@@ -179,16 +202,20 @@ def lower_bound(
     lateral = shortest_path(qi[[0, 1, 3]], qf[[0, 1, 3]], spiral_radius)
     if lateral is None:
         return 0.0
-    vertical = shortest_path(
-        np.array([0.0, qi[2], qi[4]]),
-        np.array([lateral.length, qf[2], qf[4]]),
-        rho,
-    )
-    if vertical is None:
+    vi = np.array([0.0, qi[2], qi[4]])
+    vf = np.array([lateral.length, qf[2], qf[4]])
+    vertical = shortest_path(vi, vf, rho)
+    if vertical is not None and _pitch_feasible(vertical, pitch_limits):
+        return float(vertical.length)
+    from aircraft_tpu.dubins.vertical import vertical_profile
+
+    clamped = vertical_profile(vi, vf, rho, pitch_limits)
+    if clamped is None:
         return 0.0
-    if not _pitch_feasible(vertical, pitch_limits):
-        return 0.0
-    return float(vertical.length)
+    # both are relaxations (clamped drops the abscissa constraint, exact
+    # drops the pitch constraint) — the tighter valid bound is their max
+    return float(max(clamped.length,
+                     vertical.length if vertical is not None else 0.0))
 
 
 def upper_bound(

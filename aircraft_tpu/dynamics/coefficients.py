@@ -459,6 +459,37 @@ def load_coefficient_model(kind: str, path=None):
     raise ValueError(f"unknown coefficient model kind: {kind}")
 
 
+def default_artifact_coeff(kind: str):
+    """Coefficient model of the given kind from the repo's standard fitted
+    artifacts (data/networks/{linearised.csv, poly.npz, mlp.npz}, regenerated
+    from the reference's wind-tunnel CSV by examples/fit_surrogates.py — the
+    role of the reference's data/networks/{linearised.csv,
+    fitted_models_casadi.pkl, model-dynamics.pth}).  'nn' falls back to a
+    plausibly-scaled random MLP when the artifact is absent (see
+    default_nn_coeff); 'linear'/'poly' fall back to 'default' with a
+    warning, since a random linear/poly map is not a usable aero model."""
+    import os
+    import warnings
+
+    if kind == "default":
+        return DefaultCoeffParams()
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "data", "networks",
+    )
+    if kind == "nn":
+        return default_nn_coeff()
+    path = {
+        "linear": os.path.join(base, "linearised.csv"),
+        "poly": os.path.join(base, "poly.npz"),
+    }[kind]
+    if not os.path.exists(path):
+        warnings.warn(f"{kind} artifact missing at {path}; using 'default'")
+        return DefaultCoeffParams()
+    return load_coefficient_model(kind, path)
+
+
 def default_nn_coeff(path=None):
     """The canonical 'nn' model for harnesses: the trained surrogate at
     ``data/networks/mlp.npz`` when present (the reference grid ran ITS

@@ -152,6 +152,195 @@ def profile_trace(log_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# per-solve diagnostics (reference AircraftControl.log,
+# control/aircraft.py:81-147: Jacobian condition numbers, dynamics-defect
+# violations, active constraint sets WITH duals, saturation flags)
+# ---------------------------------------------------------------------------
+
+
+def diagnose(sol, ocp, *, registry: Optional["ConstraintRegistry"] = None,
+             params=None, top_k: int = 8, active_tol: float = 1e-6) -> dict:
+    """Host-side post-mortem of one finished ILQRSolution — the exact tool
+    for a window solve stalled at the envelope floor.  Reports:
+
+      * active stage-inequality set with the AL dual estimates λ
+        (``sol.al.lam_ineq``), rows mapped through ``registry`` when given,
+      * worst violated rows over the horizon (value, knot, dual),
+      * per-knot Quu condition numbers from a Gauss-Newton Riccati replay
+        (the reference logged Jacobian condition numbers, :96-107),
+      * worst-knot dynamics defect ‖x_{k+1} − F(x_k, u_k)‖∞ (≈0 by
+        construction for single shooting — a non-zero value means the
+        solution arrays were edited after the solve),
+      * control-saturation flags per channel,
+      * airspeed/α/β envelope traces when ``params`` is given.
+
+    Strictly off the hot path: numpy + small re-traced evaluations, never
+    inside jit.
+    """
+    from aircraft_tpu.solvers import ocp as ocp_mod
+
+    xs = np.asarray(sol.xs)
+    us = np.asarray(sol.us)
+    N, m = us.shape
+    ks = jnp.arange(N)
+
+    g = np.asarray(jax.vmap(lambda x, u, k: ocp.ineq(x, u, k))(
+        jnp.asarray(xs[:-1]), jnp.asarray(us), ks))          # (N, n_ineq)
+    h = np.asarray(jax.vmap(lambda x, u, k: ocp.eq(x, u, k))(
+        jnp.asarray(xs[:-1]), jnp.asarray(us), ks))          # (N, n_eq)
+
+    al = getattr(sol, "al", None)
+    lam_ineq = np.asarray(al.lam_ineq) if al is not None else np.zeros_like(g)
+    mu = float(np.asarray(al.mu)) if al is not None else float("nan")
+
+    # active set: rows the AL currently prices (g + λ/μ > 0 — the PHR
+    # activity test the solver itself uses) plus anything near the boundary
+    act = g > -active_tol
+    if al is not None and np.isfinite(mu) and mu > 0:
+        act |= (g + lam_ineq / mu) > 0.0
+    active_rows = []
+    for j in np.unique(np.nonzero(act)[1]):
+        knots = np.nonzero(act[:, j])[0]
+        active_rows.append({
+            "row": int(j),
+            "name": registry.describe(int(j)) if registry else f"ineq[{j}]",
+            "n_knots_active": int(knots.size),
+            "first_knot": int(knots[0]),
+            "worst_value": float(g[:, j].max()),
+            "worst_knot": int(g[:, j].argmax()),
+            "max_dual": float(lam_ineq[:, j].max()),
+        })
+    active_rows.sort(key=lambda r: -r["worst_value"])
+
+    # worst violations over the horizon, named
+    flat = g.ravel()
+    order = np.argsort(flat)[::-1][:top_k]
+    worst = []
+    for idx in order:
+        if flat[idx] <= 0:
+            break
+        k_i, j_i = np.unravel_index(idx, g.shape)
+        worst.append({
+            "name": registry.describe(int(j_i)) if registry else f"ineq[{j_i}]",
+            "knot": int(k_i),
+            "value": float(flat[idx]),
+            "dual": float(lam_ineq[k_i, j_i]),
+        })
+
+    # dynamics defects (reference logged violations > 1e-3, :109-114)
+    step_next = np.asarray(jax.vmap(lambda x, u, k: ocp.step(x, u, k))(
+        jnp.asarray(xs[:-1]), jnp.asarray(us), ks))
+    defect = np.abs(xs[1:] - step_next).max(axis=-1)         # (N,)
+
+    # Quu conditioning: Gauss-Newton Riccati replay at the solution
+    quu_cond = None
+    if al is not None:
+        try:
+            from aircraft_tpu.solvers.ilqr import _quadraticize_gn
+
+            def jac(x, u, k):
+                A = jax.jacfwd(lambda xx: ocp.step(xx, u, k))(x)
+                B = jax.jacfwd(lambda uu: ocp.step(x, uu, k))(u)
+                return A, B
+
+            A, B = jax.vmap(jac)(jnp.asarray(xs[:-1]), jnp.asarray(us), ks)
+            _, _, lxx, luu, lux, _, vxx = _quadraticize_gn(
+                ocp, al, jnp.asarray(xs), jnp.asarray(us))
+            A, B = np.asarray(A, np.float64), np.asarray(B, np.float64)
+            luu, vxx = np.asarray(luu, np.float64), np.asarray(vxx, np.float64)
+            lxx, lux = np.asarray(lxx, np.float64), np.asarray(lux, np.float64)
+            Vxx = vxx
+            conds = np.zeros(N)
+            for k in range(N - 1, -1, -1):
+                Quu = luu[k] + B[k].T @ Vxx @ B[k]
+                Qxx = lxx[k] + A[k].T @ Vxx @ A[k]
+                Qux = lux[k] + B[k].T @ Vxx @ A[k]
+                w = np.linalg.eigvalsh(0.5 * (Quu + Quu.T))
+                conds[k] = float(w[-1] / max(w[0], 1e-30)) if w[0] > 0 else np.inf
+                K = np.linalg.solve(Quu + 1e-9 * np.eye(m), Qux)
+                Vxx = Qxx - Qux.T @ K
+                Vxx = 0.5 * (Vxx + Vxx.T)
+            quu_cond = {
+                "max": float(np.nanmax(conds)),
+                "worst_knot": int(np.nanargmax(conds)),
+                "median": float(np.nanmedian(conds)),
+                "n_indefinite": int(np.sum(~np.isfinite(conds))),
+            }
+        except Exception as e:  # diagnostics must never take the solve down
+            quu_cond = {"error": repr(e)}
+
+    report = {
+        "cost": float(np.asarray(sol.cost)),
+        "violation": float(np.asarray(sol.violation)),
+        "converged": bool(np.asarray(sol.converged)),
+        "iterations": int(np.asarray(sol.iterations)),
+        "mu": mu,
+        "active_constraints": active_rows[:top_k],
+        "worst_violations": worst,
+        "eq_violation_max": float(np.abs(h).max()) if h.size else 0.0,
+        "worst_defect": float(defect.max()),
+        "worst_defect_knot": int(defect.argmax()),
+        "quu_cond": quu_cond,
+        "nonfinite_states": int((~np.isfinite(xs)).sum()),
+    }
+    if params is not None:
+        from aircraft_tpu.dynamics import aircraft as _ac
+
+        n_x = min(xs.shape[1], 13)
+        aero = jax.vmap(lambda x, u: _ac.aero_state(
+            params, x[:13], u[:7]))(jnp.asarray(xs[:-1]), jnp.asarray(us))
+        speed = np.sqrt(np.asarray(2.0 * aero.qbar / 1.225))
+        report["envelope_traces"] = {
+            "airspeed_min": float(speed.min()),
+            "airspeed_max": float(speed.max()),
+            "alpha_deg_max": float(np.rad2deg(np.abs(np.asarray(aero.alpha)).max())),
+            "beta_deg_max": float(np.rad2deg(np.abs(np.asarray(aero.beta)).max())),
+        }
+        del n_x
+    return report
+
+
+def format_diagnosis(report: dict) -> str:
+    """Human-readable rendering of a `diagnose` report (the reference's
+    file-log format, control/aircraft.py:81-147)."""
+    lines = [
+        f"solve: cost={report['cost']:.3f} violation={report['violation']:.3e} "
+        f"converged={report['converged']} iters={report['iterations']} "
+        f"mu={report['mu']:.1e}",
+        f"defect: max {report['worst_defect']:.2e} at knot "
+        f"{report['worst_defect_knot']}; eq viol {report['eq_violation_max']:.2e}",
+    ]
+    if report.get("quu_cond") and "max" in report.get("quu_cond", {}):
+        q = report["quu_cond"]
+        lines.append(
+            f"Quu cond: max {q['max']:.2e} (knot {q['worst_knot']}), "
+            f"median {q['median']:.2e}, indefinite knots {q['n_indefinite']}"
+        )
+    if report.get("envelope_traces"):
+        t = report["envelope_traces"]
+        lines.append(
+            f"envelope: v in [{t['airspeed_min']:.1f}, {t['airspeed_max']:.1f}] m/s, "
+            f"|alpha| <= {t['alpha_deg_max']:.1f} deg, |beta| <= {t['beta_deg_max']:.1f} deg"
+        )
+    if report["active_constraints"]:
+        lines.append("active constraints (worst first):")
+        for r in report["active_constraints"]:
+            lines.append(
+                f"  {r['name']}: {r['n_knots_active']} knots from "
+                f"{r['first_knot']}, worst {r['worst_value']:+.3e} at knot "
+                f"{r['worst_knot']}, dual {r['max_dual']:.2e}"
+            )
+    if report["worst_violations"]:
+        lines.append("worst violations:")
+        for r in report["worst_violations"]:
+            lines.append(
+                f"  {r['name']} at knot {r['knot']}: {r['value']:.3e} "
+                f"(dual {r['dual']:.2e})"
+            )
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
 # NaN diagnosis (reference debug_jacobian, main/control/quad_control.py:11-112)
 # ---------------------------------------------------------------------------
 

@@ -54,6 +54,11 @@ class ILQRSolution(NamedTuple):
     converged: jax.Array   # bool
     iterations: jax.Array  # inner iterations actually used
     grad_norm: jax.Array   # final stationarity measure
+    # final augmented-Lagrangian state: the constraint multipliers are the
+    # solver's dual estimates (the reference logged IPOPT's duals per active
+    # constraint, reference control/aircraft.py:120-135) — consumed by
+    # observability.diagnose, free to carry (already live at solve end)
+    al: ALState = None
 
 
 # ---------------------------------------------------------------------------
@@ -380,7 +385,7 @@ def solve_impl(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
     converged = (viol < config.constraint_tol) & jnp.isfinite(cost)
     return ILQRSolution(
         xs=xs, us=us, cost=cost, violation=viol, converged=converged,
-        iterations=n_iters, grad_norm=grad_norm,
+        iterations=n_iters, grad_norm=grad_norm, al=al,
     )
 
 

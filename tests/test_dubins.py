@@ -182,3 +182,106 @@ class TestDubins3DBounds:
         qf = np.array([2000.0, 0, 0, 0, 0.0])
         lb = lower_bound(qi, qf, rho=40.0)
         assert 1999.0 <= lb <= 2010.0, lb
+
+
+class TestReferenceScenarios:
+    """Differential coverage against the reference's own 3D scenario suite
+    (reference main/initialisation/dubins.py:21-80) plus steep
+    climb/descent cases.  Expected lengths were recorded by RUNNING the
+    reference implementation on each scenario (DubinsManeuver3D_constructor
+    + compute_sampling); the repo's radius search must find a maneuver of
+    comparable length (within 2%, usually shorter after local refinement)
+    that hits the endpoint and honours the pitch envelope exactly."""
+
+    SCENARIOS = [
+        # (name, qi, qf, rho, pitch_limits, reference_length)
+        ("basic", [0, 0, 0, 0, 0],
+         [10, 10, 5, np.pi / 2, np.pi / 6], 2.0,
+         (-np.pi / 4, np.pi / 3), 15.359),
+        ("ascending_turn", [0, 0, 0, 0, 0],
+         [5, 5, 3, np.pi / 2, np.pi / 6], 1.5,
+         (-np.pi / 6, np.pi / 3), 7.961),
+        ("descending_turn", [0, 0, 5, 0, 0],
+         [8, -3, 1, -np.pi / 3, -np.pi / 8], 2.0,
+         (-np.pi / 4, np.pi / 4), 9.632),
+        ("level_heading_change", [0, 0, 2, 0, 0],
+         [6, 4, 2, np.pi, 0], 1.0,
+         (-np.pi / 6, np.pi / 6), 9.466),
+        ("steep_climb", [0, 0, 0, 0, 0],
+         [3, 3, 8, np.pi / 4, np.pi / 3], 1.5,
+         (-np.pi / 6, np.pi / 2), 9.623),
+        ("steep_descent", [0, 0, 0, np.pi / 4, 0.2],
+         [6, -4, -9, 3.0, -0.3], 1.5,
+         (-np.pi / 4, np.pi / 2), 15.405),
+    ]
+
+    def test_matches_reference_feasibility_and_length(self):
+        for name, qi, qf, rho, lims, ref_len in self.SCENARIOS:
+            m = maneuver3d(np.asarray(qi, float), np.asarray(qf, float),
+                           rho, pitch_limits=lims, n_radius_search=24)
+            assert m is not None, name
+            end = m.sample(m.length)
+            assert np.linalg.norm(end[:3] - np.asarray(qf[:3])) < 1e-6, name
+            assert m.length <= ref_len * 1.02, (name, m.length, ref_len)
+            # pitch envelope honoured everywhere (dense sampling)
+            pts = m.sample_many(256)
+            dz = np.diff(pts[:, 2])
+            dxy = np.linalg.norm(np.diff(pts[:, :2], axis=0), axis=1)
+            gam = np.arctan2(dz, np.maximum(dxy, 1e-12))
+            assert gam.min() > lims[0] - 0.05 and gam.max() < lims[1] + 0.05, name
+
+
+class TestVerticalCSC:
+    """Pitch-constrained vertical CSC construction (dubins/vertical.py —
+    the reference Vertical's role, reference vertical.py:9-113)."""
+
+    def test_exact_profile_when_slope_fits(self):
+        from aircraft_tpu.dubins.vertical import vertical_profile
+
+        lims = (-np.deg2rad(20), np.deg2rad(20))
+        m = vertical_profile([0.0, 0.0, 0.0], [100.0, 10.0, 0.0], 30.0, lims)
+        assert m is not None and m.exact
+        end = m.sample(m.length)
+        np.testing.assert_allclose(end, [100.0, 10.0, 0.0], atol=1e-6)
+        lo, hi = m.pitch_range()
+        assert lims[0] - 1e-9 <= lo and hi <= lims[1] + 1e-9
+
+    def test_clamped_profile_on_steep_transfer(self):
+        """A climb steeper than the envelope slope: the exact CSC would
+        need θ > pitch_max, so the construction clamps the straight to the
+        boundary (reference vertical.py:169-215 `_LSR` clamped branch) —
+        Δz and γ endpoints matched exactly, abscissa approximate, pitch
+        within the envelope everywhere."""
+        from aircraft_tpu.dubins.vertical import vertical_profile
+
+        lims = (-np.deg2rad(15), np.deg2rad(15))
+        m = vertical_profile([0.0, 0.0, 0.0], [40.0, 30.0, 0.0], 20.0, lims)
+        assert m is not None and not m.exact
+        end = m.sample(m.length)
+        assert abs(end[1] - 30.0) < 1e-6      # Δz matched
+        assert abs(end[2] - 0.0) < 1e-9       # γ matched
+        assert abs(m.theta - lims[1]) < 1e-12  # slope pinned to the boundary
+        lo, hi = m.pitch_range()
+        assert lims[0] - 1e-9 <= lo and hi <= lims[1] + 1e-9
+        # no vertical loops: both arc sweeps stay below pi (the reference's
+        # >pi special cases exist to guarantee exactly this)
+        assert abs(m.sweeps[0]) < np.pi and abs(m.sweeps[1]) < np.pi
+
+    def test_lower_bound_positive_on_steep_scenarios(self):
+        """lower_bound no longer collapses to 0.0 when the exact vertical
+        profile violates pitch: the clamped construction supplies a
+        positive, still-optimistic estimate (reference getLowerBound uses
+        Vertical for the same reason, reference dubins3d.py:154-188)."""
+        from aircraft_tpu.dubins.dubins3d import lower_bound
+
+        lims = (-np.deg2rad(15), np.deg2rad(15))
+        qi = np.array([0, 0, 0, 0, 0.0])
+        qf = np.array([60.0, 10.0, 55.0, 0.5, 0.0])  # very steep transfer
+        lb = lower_bound(qi, qf, 20.0, lims)
+        assert lb > 0.0
+        # optimistic: any constructible maneuver must be at least this long
+        m = maneuver3d(qi, qf, 20.0, pitch_limits=lims, n_radius_search=32)
+        if m is not None:
+            assert lb <= m.length * 1.01 + 1e-6
+        # and at least the pitch-limited climb length
+        assert lb >= 55.0 / np.sin(lims[1]) * 0.9

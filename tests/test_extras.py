@@ -110,6 +110,45 @@ class TestObservability:
         rep = reg.report_violations(np.array([0.0] * 7 + [0.5]))
         assert rep == ["airspeed_low: 5.000e-01"]
 
+    def test_diagnose_reports_active_sets_with_duals(self):
+        """`diagnose` (the reference AircraftControl.log analogue,
+        reference control/aircraft.py:81-147) must surface the active
+        constraint set WITH dual estimates, Quu conditioning, and the
+        worst-knot defect from a finished constrained solve."""
+        from aircraft_tpu.config import SolverConfig
+        from aircraft_tpu.control.quadrotor import (
+            build_quadrotor_ocp, initial_state_inverted)
+        from aircraft_tpu.observability import (
+            ConstraintRegistry, diagnose, format_diagnosis)
+        from aircraft_tpu.solvers import ilqr
+
+        # aggressive target + tight thrust ceiling → saturated bounds
+        N, dt, tmax = 40, 0.05, 6.0
+        ocp = build_quadrotor_ocp([6.0, 0.0, -12.0], dt=dt, thrust_max=tmax)
+        sol = ilqr.solve(
+            ocp, initial_state_inverted(), jnp.full((N, 4), 9.81 / 4.0),
+            SolverConfig(max_al_iters=6, max_inner_iters=25),
+        )
+        reg = ConstraintRegistry()
+        for i in range(4):
+            reg.register(f"thrust{i}_upper", 1)
+        for i in range(4):
+            reg.register(f"thrust{i}_lower", 1)
+
+        rep = diagnose(sol, ocp, registry=reg)
+        # the AL multipliers came back with the solution
+        assert rep["mu"] > 0
+        # thrust ceiling is genuinely active on this problem, with duals
+        names = [r["name"] for r in rep["active_constraints"]]
+        assert any("upper" in n for n in names), names
+        assert max(r["max_dual"] for r in rep["active_constraints"]) > 0
+        # single-shooting defects vanish by construction
+        assert rep["worst_defect"] < 1e-5
+        # GN Riccati replay produced finite conditioning numbers
+        assert rep["quu_cond"] and np.isfinite(rep["quu_cond"]["max"])
+        text = format_diagnosis(rep)
+        assert "active constraints" in text and "Quu cond" in text
+
     def test_nan_locator(self):
         from aircraft_tpu.observability import locate_nan_in_jacobian
 
