@@ -219,7 +219,7 @@ def run_time_mode_case(
     m.update(
         time=time_mode, num_nodes=num_nodes,
         waypoint_misses=[round(x, 2) for x in misses],
-        passed=bool(max(misses) < 2.5 * tol),
+        passed=bool(max(misses) < tol),
         wall_s=round(wall, 2),
     )
     return m

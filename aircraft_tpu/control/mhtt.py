@@ -118,7 +118,13 @@ def build_mhtt_ocp(
     def step(z, u, k):
         x, s = z[..., :13], z[..., 13]
         s_dot, corr, _ = progress_rate(z)
-        s_next = jnp.clip(s + s_dot * dt + progress_correction * corr, 0.0, 1.0)
+        # upper clip sits ABOVE 1 so the terminal progress reward keeps a
+        # live gradient through s = 1 (a hard clip at 1.0 zeroes ds/du for
+        # every knot once the window tail reaches the track end — a
+        # flat-gradient trap on short tracks); the track functions clamp
+        # their own argument, so s slightly past 1 just holds the endpoint
+        s_next = jnp.clip(s + s_dot * dt + progress_correction * corr,
+                          0.0, 1.05)
         if wind_channels:
             w = z[..., 14:17]
             x_next = integrators.step(

@@ -501,7 +501,10 @@ def solve_time_optimal(
         [np.linalg.norm(xs[:, :, :3] - w, axis=-1).min(axis=1) for w in wps_np],
         axis=-1,
     )
-    feasible = (dmins < 2.5 * tol).all(axis=-1) & np.isfinite(xs).all(axis=(1, 2))
+    # honest gate: feasible means INSIDE the declared tolerance (the
+    # course scorer uses the same 1.0x gate, control/course.py) — a
+    # schedule that misses by 2.5x tol is not a feasible schedule
+    feasible = (dmins < tol).all(axis=-1) & np.isfinite(xs).all(axis=(1, 2))
     T = dts * num_nodes
     best = None
     for i in np.argsort(T):
@@ -592,5 +595,5 @@ def solve_waypoint_legs(
         "controls": np.concatenate(all_controls, axis=0)
         if all_controls else np.zeros((0, 7), np.float32),
         "dmins": dmins,
-        "success": all(d < 2.5 * config.waypoints.tolerance for d in dmins),
+        "success": all(d < config.waypoints.tolerance for d in dmins),
     }

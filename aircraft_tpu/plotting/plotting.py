@@ -37,11 +37,47 @@ def plot_convergence(ax, inf_pr, inf_du):
 
 
 class TrajectoryPlotter:
-    """3×4 dashboard over a `TrajectoryData` (reference plotting.py:98-519)."""
+    """Dashboard over a `TrajectoryData` (reference plotting.py:98-519).
 
-    def __init__(self, waypoints: Optional[np.ndarray] = None, dt: float = 0.01):
+    With ``params`` (an `AircraftParams`) the aero panel shows the PLANT'S
+    OWN α/β — `aero_state` over the flown states and controls, wind-aware —
+    and two extra panels plot body-frame forces/moments from the plant's
+    `forces_frd`/`moments_frd` (the reference plots these from its own
+    symbolic functions, reference plotting.py:283-478).  Without params the
+    aero panel falls back to the inertial-velocity approximation (wrong
+    under wind, and labelled as such)."""
+
+    def __init__(self, waypoints: Optional[np.ndarray] = None, dt: float = 0.01,
+                 params=None, wind=None):
         self.waypoints = waypoints
         self.dt = dt
+        self.params = params
+        self.wind = wind
+
+    def _plant_panels(self, xs: np.ndarray, us: Optional[np.ndarray]):
+        """(alpha, beta, forces, moments) from the plant's own functions,
+        or None when params/controls are unavailable."""
+        if self.params is None or us is None or us.shape[0] == 0:
+            return None
+        import jax
+        import jax.numpy as jnp
+
+        from aircraft_tpu.dynamics import aircraft as ac
+
+        n = min(xs.shape[0], us.shape[0])
+        x_j = jnp.asarray(xs[:n, :13])
+        u_j = jnp.asarray(us[:n, :7])
+        wind = None if self.wind is None else jnp.asarray(self.wind)
+
+        def one(x, u):
+            aero = ac.aero_state(self.params, x, u, wind)
+            F = ac.forces_frd(self.params, x, u, wind)
+            M = ac.moments_frd(self.params, x, u, wind)
+            return aero.alpha, aero.beta, F, M
+
+        alpha, beta, F, M = jax.vmap(one)(x_j, u_j)
+        return (np.asarray(alpha), np.asarray(beta),
+                np.asarray(F), np.asarray(M))
 
     def plot(self, data: TrajectoryData, show: bool = False):
         import matplotlib
@@ -95,29 +131,56 @@ class TrajectoryPlotter:
             ax.plot(t, xs[:, 10 + i], label=n)
         ax.legend(); ax.set_title("body rates [rad/s]")
 
+        plant = self._plant_panels(xs, us)
+
         ax = fig.add_subplot(3, 4, 8)
-        ax.plot(t, -xs[:, 2])
-        ax.set_title("altitude [m]")
+        if plant is not None and data.lam is not None:
+            # with forces/moments panels occupying slots 10/12, progress
+            # takes the altitude slot (altitude is readable off the 3D plot)
+            lam = np.asarray(data.lam)
+            for j in range(lam.shape[1]):
+                ax.plot(lam[:, j], label=f"λ{j}")
+            ax.legend(); ax.set_title("waypoint progress")
+        else:
+            ax.plot(t, -xs[:, 2])
+            ax.set_title("altitude [m]")
 
         if us is not None and us.shape[0] > 0:
             tu = t[: us.shape[0]]
             ax = fig.add_subplot(3, 4, 9)
             for i, n in enumerate(["aileron", "elevator", "rudder"]):
                 ax.plot(tu, us[:, i], label=n)
-            ax.legend(); ax.set_title("surfaces")
             if us.shape[1] > 6:
-                ax = fig.add_subplot(3, 4, 10)
                 ax.plot(tu, us[:, 6], label="flaps")
-                ax.legend(); ax.set_title("flaps")
+            ax.legend(); ax.set_title("surfaces")
 
         ax = fig.add_subplot(3, 4, 11)
         speed = np.linalg.norm(xs[:, 3:6], axis=1)
-        alpha = np.arctan2(xs[:, 5], np.maximum(xs[:, 3], 1e-6))
-        ax.plot(t, np.rad2deg(alpha), label="alpha*")
-        ax.plot(t, speed, label="|v|")
-        ax.legend(); ax.set_title("aero (inertial approx)")
+        if plant is not None:
+            alpha, beta, F, M = plant
+            ta = t[: alpha.shape[0]]
+            ax.plot(ta, np.rad2deg(alpha), label="alpha")
+            ax.plot(ta, np.rad2deg(beta), label="beta")
+            ax.plot(t, speed, label="|v|")
+            ax.legend(); ax.set_title("aero (plant, wind-aware) [deg, m/s]")
 
-        if data.lam is not None:
+            # body-frame forces/moments from the plant's own functions
+            # (reference plotting.py:283-478 forces/moments panels)
+            ax = fig.add_subplot(3, 4, 10)
+            for i, n in enumerate(["Fx", "Fy", "Fz"]):
+                ax.plot(ta, F[:, i], label=n)
+            ax.legend(); ax.set_title("forces FRD [N]")
+            ax = fig.add_subplot(3, 4, 12)
+            for i, n in enumerate(["Mx", "My", "Mz"]):
+                ax.plot(ta, M[:, i], label=n)
+            ax.legend(); ax.set_title("moments FRD [N·m]")
+        else:
+            alpha = np.arctan2(xs[:, 5], np.maximum(xs[:, 3], 1e-6))
+            ax.plot(t, np.rad2deg(alpha), label="alpha*")
+            ax.plot(t, speed, label="|v|")
+            ax.legend(); ax.set_title("aero (inertial approx)")
+
+        if data.lam is not None and plant is None:
             ax = fig.add_subplot(3, 4, 12)
             lam = np.asarray(data.lam)
             for j in range(lam.shape[1]):

@@ -248,12 +248,17 @@ def _forward_pass(ocp: OCPFunctions, al: ALState, xs_ref, us_ref, K, k,
 
 
 def solve_impl(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
-               config: SolverConfig = SolverConfig()) -> ILQRSolution:
+               config: SolverConfig = SolverConfig(),
+               al_init: ALState = None) -> ILQRSolution:
     """Unjitted solver implementation. Use this inside your own jit/vmap
     when the OCP closes over TRACED values (e.g. a per-candidate timestep
     or parameter sweep: build the OCP inside the traced function and call
     solve_impl directly). `solve` below is the jitted entry point for
-    OCPs whose closures are static."""
+    OCPs whose closures are static.
+
+    ``al_init``: optional warm-start multipliers (the previous window's
+    `ILQRSolution.al` through `ocp_mod.shift_al_state`) — the dual analogue
+    of the shift-and-hold control carry in receding-horizon serving."""
     N, m = us_init.shape
     n = x0.shape[-1]
     dtype = x0.dtype
@@ -282,7 +287,8 @@ def solve_impl(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
         return jnp.concatenate([x0[None], xs_tail], axis=0), nfro
 
     xs0, nfro0 = initial_rollout(us_init)
-    al0 = ocp_mod.init_al_state(ocp, x0, us_init[0], N, mu0=config.penalty_init)
+    al0 = (ocp_mod.init_al_state(ocp, x0, us_init[0], N, mu0=config.penalty_init)
+           if al_init is None else al_init)
 
     def linearize(xs, us):
         def jac(x, u, idx):
@@ -393,8 +399,13 @@ solve = partial(jax.jit, static_argnums=(0, 3))(solve_impl)
 
 
 def solve_batch(ocp: OCPFunctions, x0s: jax.Array, us_inits: jax.Array,
-                config: SolverConfig = SolverConfig()) -> ILQRSolution:
+                config: SolverConfig = SolverConfig(),
+                al_inits: ALState = None) -> ILQRSolution:
     """vmap of `solve` over a leading scenario axis — thousands of
     simultaneous MPC solves in one XLA program (SURVEY §2.4: the scenario
-    batch is the data-parallel axis of this domain)."""
-    return jax.vmap(lambda x0, us: solve(ocp, x0, us, config))(x0s, us_inits)
+    batch is the data-parallel axis of this domain).  ``al_inits``
+    optionally carries per-scenario dual warm starts (leading batch axis)."""
+    if al_inits is None:
+        return jax.vmap(lambda x0, us: solve(ocp, x0, us, config))(x0s, us_inits)
+    return jax.vmap(lambda x0, us, al: solve(ocp, x0, us, config, al))(
+        x0s, us_inits, al_inits)

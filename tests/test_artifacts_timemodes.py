@@ -96,7 +96,7 @@ class TestFreeTimeModes:
         )
         # first waypoint still passed within tolerance
         w0 = cfg.waypoints.array()[0]
-        assert np.linalg.norm(xs[:, :3] - w0, axis=1).min() < 2.5 * cfg.waypoints.tolerance
+        assert np.linalg.norm(xs[:, :3] - w0, axis=1).min() < cfg.waypoints.tolerance
 
     def test_variable_mode_builds_and_steps(self):
         from aircraft_tpu.control import waypoints as wp

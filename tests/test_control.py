@@ -58,7 +58,7 @@ class TestWaypointRacing:
         wps = cfg.waypoints.array()
         for j, w in enumerate(wps):
             dmin = np.min(np.linalg.norm(xs[:, :3] - w, axis=1))
-            assert dmin < 2.5 * cfg.waypoints.tolerance, (j, dmin)
+            assert dmin < cfg.waypoints.tolerance, (j, dmin)
         # progress variables consumed: λ(T) ≈ 0
         lam_T = xs[-1, 13:]
         assert np.all(np.abs(lam_T) < 0.1), lam_T
@@ -191,7 +191,7 @@ class TestTimeOptimalSweep:
         wps = cfg.waypoints.array()
         for j, w in enumerate(wps):
             dmin = np.min(np.linalg.norm(xs[:, :3] - w, axis=1))
-            assert dmin < 2.5 * cfg.waypoints.tolerance, (j, dmin)
+            assert dmin < cfg.waypoints.tolerance, (j, dmin)
 
 
 class TestMHTTCandidates:

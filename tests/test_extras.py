@@ -326,3 +326,47 @@ class TestFDJacobian:
                              jnp.asarray([1e-9, 2e-9]))
         # sqrt kink at 0: AD gives huge derivative, FD a finite slope
         assert not rep["ok"]
+
+
+class TestPlantTruePlotting:
+    """The dashboard's aero panel must use the PLANT'S own wind-aware α/β
+    and include forces/moments panels from forces_frd/moments_frd when
+    params are given (reference plotting.py:283-478)."""
+
+    def test_plant_panels_wind_aware(self):
+        from aircraft_tpu.config import glider_config
+        from aircraft_tpu.dynamics.aircraft import AircraftParams
+        from aircraft_tpu.plotting.plotting import TrajectoryPlotter
+        from aircraft_tpu.solvers import integrators
+        from aircraft_tpu.solvers.rollout import rollout
+        from aircraft_tpu.utils import TrajectoryData
+
+        cfg = glider_config()
+        params = AircraftParams.from_config(cfg.aircraft)
+        x0 = jnp.asarray(cfg.waypoints.initial_state, jnp.float32)
+        us = jnp.zeros((20, 7), jnp.float32)
+        step = integrators.make_step_fn(params, substeps=2, normalize="step")
+        xs = np.asarray(rollout(step, x0, us, 0.01))
+
+        windy = TrajectoryPlotter(params=params,
+                                  wind=jnp.asarray([5.0, 0.0, 0.0]))
+        calm = TrajectoryPlotter(params=params)
+        a_w, b_w, F_w, M_w = windy._plant_panels(xs, np.asarray(us))
+        a_0, b_0, F_0, M_0 = calm._plant_panels(xs, np.asarray(us))
+        # wind shifts the plant-true alpha (the old inertial-velocity
+        # approximation could not see wind at all)
+        assert np.abs(a_w - a_0).max() > 1e-4
+        assert F_w.shape == (20, 3) and M_w.shape == (20, 3)
+        # gravity-free moments at zero rates/deflections stay bounded
+        assert np.all(np.isfinite(F_w)) and np.all(np.isfinite(M_w))
+
+        # the full dashboard renders with forces/moments panels present
+        data = TrajectoryData(state=xs, control=np.asarray(us), time=None,
+                              lam=np.linspace(1, 0, 21)[:, None])
+        fig = windy.plot(data)
+        titles = {ax.get_title() for ax in fig.axes}
+        assert "forces FRD [N]" in titles and "moments FRD [N·m]" in titles
+        assert any("wind-aware" in t for t in titles)
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
