@@ -56,6 +56,73 @@ def waypoint_misses(
     return out
 
 
+def course_track(
+    config: TrajectoryConfig,
+    *,
+    v_ref: float,
+    v0_init: Optional[float] = None,
+    glide_ld: float = 13.0,
+    r_min: Optional[float] = None,
+    r_min_per_segment=None,
+    track_extend: float = 150.0,
+    n_track_points: int = 512,
+) -> DubinsInitialiser:
+    """The course-recipe reference track (steps 1–2 of the module
+    docstring), factored out so serving benchmarks fly the same geometry
+    as `solve_full_course`: flyable glide z-profile for 2D objectives,
+    speed-sized turn radii with a wide first turnaround, and a run-out
+    extension past the final waypoint."""
+    two_d = len([i for i in config.waypoints.waypoint_indices if i < 3]) < 3
+    x0_np = np.asarray(config.waypoints.initial_state, dtype=np.float32)
+    if v0_init is None:
+        v0_init = float(np.linalg.norm(x0_np[3:6]))
+    if r_min is None:
+        r_min = (v_ref + 4.0) ** 2 / 9.81
+    if r_min_per_segment is None and two_d and len(config.waypoints.waypoints) > 1:
+        r_fast = (0.8 * max(v0_init, v_ref)) ** 2 / 9.81
+        r_slow = max((v_ref + 6.0) ** 2 / 9.81, 80.0)
+        pts = config.waypoints.all_points()
+        diffs = np.diff(pts[:, :2], axis=0)
+        seg_psi = np.arctan2(diffs[:, 1], diffs[:, 0])
+        psi_prev = (
+            float(np.arctan2(x0_np[4], x0_np[3]))
+            if np.hypot(x0_np[3], x0_np[4]) > 1e-6 else seg_psi[0]
+        )
+        r_min_per_segment = []
+        first_rev_seen = False
+        for i in range(len(seg_psi)):
+            turn = np.arctan2(np.sin(seg_psi[i] - psi_prev),
+                              np.cos(seg_psi[i] - psi_prev))
+            reversal = abs(turn) > np.pi / 2
+            if reversal and not first_rev_seen:
+                r_min_per_segment.append(r_fast)
+                first_rev_seen = True
+            else:
+                r_min_per_segment.append(r_slow)
+            psi_prev = seg_psi[i]
+
+    return DubinsInitialiser(
+        config, r_min=r_min, n_track_points=n_track_points,
+        z_mode="glide" if two_d else "waypoints", glide_ld=glide_ld,
+        r_min_per_segment=r_min_per_segment,
+        extend=track_extend,
+    )
+
+
+# MHTT/OCP knobs of the hardware-validated course recipe (step 3) — shared
+# with the serving bench so its steady-state feasibility is measured on the
+# configuration that actually flies the course
+COURSE_OCP_KNOBS = dict(
+    w_speed=0.2, w_rate=0.2, alpha_guard_deg=10.0,
+    progress_correction=0.10, stall_guard=(0.0, 20.0),
+    envelope_overrides={
+        "speed_bounds": (20.0, 100.0),
+        "alpha_limit_deg": 20.0,
+        "beta_limit_deg": 10.0,
+    },
+)
+
+
 def solve_full_course(
     config: TrajectoryConfig,
     params: Optional[AircraftParams] = None,
@@ -95,71 +162,33 @@ def solve_full_course(
         # floor 20 m/s -> hold 22); 3D-objective courses track the
         # declared cruise speed
         v_ref = 22.0 if two_d else float(config.waypoints.default_velocity) + 1.0
-    if r_min is None:
-        # sized for the mid-course speed with 45-degree-bank margin: the
-        # plant arrives fast and bleeds energy, so turns are flown a few
-        # m/s above the hold speed (125 m for the glider's 31 m/s course —
-        # tighter radii demand >50° sustained bank and the window solves
-        # develop stalling tails)
-        r_min = (v_ref + 4.0) ** 2 / 9.81
-    if r_min_per_segment is None and two_d and len(config.waypoints.waypoints) > 1:
-        # per-segment turn radii: the FIRST turnaround segment is flown
-        # near the (fast) initial speed and needs a wide loop; later
-        # turnarounds happen at the settled cruise speed; near-straight
-        # segments get the cruise radius too (their arcs are metres long
-        # and harmlessly cut by the tracker, while an oversized radius on
-        # a small heading change forces a full Dubins detour loop)
-        r_fast = (0.8 * max(v0_init, v_ref)) ** 2 / 9.81
-        r_slow = max((v_ref + 6.0) ** 2 / 9.81, 80.0)
-        pts = config.waypoints.all_points()
-        diffs = np.diff(pts[:, :2], axis=0)
-        seg_psi = np.arctan2(diffs[:, 1], diffs[:, 0])
-        psi_prev = (
-            float(np.arctan2(x0_np[4], x0_np[3]))
-            if np.hypot(x0_np[3], x0_np[4]) > 1e-6 else seg_psi[0]
-        )
-        r_min_per_segment = []
-        first_rev_seen = False
-        for i in range(len(seg_psi)):
-            turn = np.arctan2(np.sin(seg_psi[i] - psi_prev),
-                              np.cos(seg_psi[i] - psi_prev))
-            reversal = abs(turn) > np.pi / 2
-            if reversal and not first_rev_seen:
-                r_min_per_segment.append(r_fast)
-                first_rev_seen = True
-            else:
-                r_min_per_segment.append(r_slow)
-            psi_prev = seg_psi[i]
-
-    track = DubinsInitialiser(
-        config, r_min=r_min, n_track_points=512,
-        z_mode="glide" if two_d else "waypoints", glide_ld=glide_ld,
-        r_min_per_segment=r_min_per_segment,
-        extend=track_extend,
+    # turn radii sized for the mid-course speed with 45-degree-bank margin
+    # (125 m for the glider's 31 m/s course — tighter radii demand >50°
+    # sustained bank and the window solves develop stalling tails); the
+    # FIRST turnaround gets a wide loop for the fast arrival speed.  Shared
+    # recipe: course_track above.
+    track = course_track(
+        config, v_ref=v_ref, v0_init=v0_init, glide_ld=glide_ld,
+        r_min=r_min, r_min_per_segment=r_min_per_segment,
+        track_extend=track_extend,
     )
 
     mhtt = MHTT(
         params, config, track,
         num_nodes=num_nodes, dt=dt, overlap=overlap, substeps=substeps,
-        v_ref=v_ref, w_speed=0.2, w_rate=0.2, alpha_guard_deg=10.0,
-        # stronger carrot sync: in turnaround loops the plant lags the
-        # track; without it the eval(s) target runs ahead and the flight
-        # cuts corners past waypoints (observed 69 m miss at waypoint 2)
-        progress_correction=progress_correction,
-        stall_guard=stall_guard,
+        v_ref=v_ref,
+        # COURSE_OCP_KNOBS, with the caller's carrot-sync/stall-guard
+        # overrides: stronger progress correction keeps the eval(s) target
+        # from running ahead in turnaround loops (observed 69 m miss);
         # the controller's AL envelope uses the reference's own hard-coded
-        # set (reference control/aircraft.py:44-59: 20-100 m/s, |α|≤20°,
-        # |β|≤10°) rather than the declared [30,100]: the glide-limit
-        # course must be flown NEAR the declared floor, and an active AL
-        # floor constraint right at the operating point destabilises the
-        # window solves (observed: multiplier-driven speed spikes to 76
-        # m/s).  The cost-level speed band holds v near v_ref instead;
-        # flown airspeed is reported for post-hoc envelope accounting.
-        envelope_overrides={
-            "speed_bounds": (20.0, 100.0),
-            "alpha_limit_deg": 20.0,
-            "beta_limit_deg": 10.0,
-        },
+        # set (reference control/aircraft.py:44-59) rather than the
+        # declared [30,100] — an active AL floor constraint right at the
+        # operating point destabilises the window solves (observed:
+        # multiplier-driven speed spikes to 76 m/s); the cost-level speed
+        # band holds v near v_ref instead.
+        **{**COURSE_OCP_KNOBS,
+           "progress_correction": progress_correction,
+           "stall_guard": stall_guard},
         # inner budget: 20 suffices on CPU; on TPU the turnaround windows
         # need 30 (measured on v5e: the course aborts at window ~86 with
         # 20 and completes with 30 — the marginal windows take more

@@ -36,6 +36,7 @@ from aircraft_tpu.control.initialisation import (
 )
 from aircraft_tpu.dynamics.aircraft import AircraftParams
 from aircraft_tpu.solvers import ilqr, integrators
+from aircraft_tpu.solvers import ocp as ocp_mod
 from aircraft_tpu.solvers.ocp import OCPFunctions
 
 # loss weights (reference moving_horizon.py:47-56)
@@ -245,6 +246,7 @@ class MHTT:
         envelope_overrides: Optional[dict] = None,
         progress_correction: float = 0.05,
         stall_guard: tuple[float, float] = (2.0, 10.0),
+        dual_carry: bool = True,
     ):
         if v_ref is None:
             v_ref = float(config.waypoints.default_velocity)
@@ -281,25 +283,41 @@ class MHTT:
             progress_correction=progress_correction,
             stall_guard=stall_guard,
         )
+        self.dual_carry = dual_carry
         self._solve = jax.jit(
             lambda z0, us: ilqr.solve(self.ocp, z0, us, self.solver_config)
         )
         self._solve_batch = jax.jit(
-            lambda z0s, uss: ilqr.solve_batch(self.ocp, z0s, uss, self.solver_config)
+            lambda z0s, uss, als=None: ilqr.solve_batch(
+                self.ocp, z0s, uss, self.solver_config, al_inits=als)
         )
+        self._shift_al_batch = jax.jit(jax.vmap(
+            lambda a: ocp_mod.shift_al_state(
+                a, self.commit, mu0=self.solver_config.penalty_init)))
+        # cold-start multiplier template: zero duals at the initial penalty
+        # (what every solve starts from without a carry)
+        self._al0 = ocp_mod.init_al_state(
+            self.ocp, jnp.zeros(14, jnp.float32), jnp.zeros(7, jnp.float32),
+            num_nodes, mu0=self.solver_config.penalty_init)
 
-        def _serve_step(z0, us):
+        def _serve_step(z0, us, al):
             # one window solve whose host-visible results come back as ONE
             # packed blob — a single D2H transfer per replan.  Per-field
             # np.asarray/float() pulls cost ~117 ms/window through a remote
             # device transport vs ~25 ms for the packed transfer (measured
-            # on v5e, BENCH_MODE=serve); the warm-start carry (z, us) never
-            # leaves the device either way.
+            # on v5e, BENCH_MODE=serve); the warm-start carry (z, us, AL
+            # duals) never leaves the device either way.
             c = self.commit
-            sol = ilqr.solve_impl(self.ocp, z0, us, self.solver_config)
+            sol = ilqr.solve_impl(self.ocp, z0, us, self.solver_config,
+                                  al_init=al if self.dual_carry else None)
             z_next = sol.xs[c]
             us_next = jnp.concatenate(
                 [sol.us[c:], jnp.tile(sol.us[-1:], (c, 1))], axis=0)
+            # receding-horizon DUAL warm start (the IPOPT warm-start pushes,
+            # reference config.py:46-49): shift the stage multipliers by the
+            # committed prefix, restart the penalty
+            al_next = ocp_mod.shift_al_state(
+                sol.al, c, mu0=self.solver_config.penalty_init)
             finite = jnp.all(jnp.isfinite(sol.xs)).astype(jnp.float32)
             blob = jnp.concatenate([
                 sol.xs[1 : c + 1, :14].reshape(-1),
@@ -307,11 +325,11 @@ class MHTT:
                 jnp.stack([sol.cost, sol.violation, finite,
                            sol.xs[c, 13]]).astype(jnp.float32),
             ])
-            return z_next, us_next, blob
+            return z_next, us_next, al_next, blob
 
         self._serve_step = jax.jit(_serve_step)
 
-        def _serve_step_multi(z0, us_carry, us_reset, n_candidates):
+        def _serve_step_multi(z0, us_carry, us_reset, al, n_candidates):
             # TPU-shaped robustness: the chip is underutilised at batch 1,
             # so a window solve from up to SIX diverse warm starts (shifted
             # carry, clean trim reset, their blends, a damped carry) costs
@@ -332,9 +350,20 @@ class MHTT:
                                                 keepdims=True),
             ]
             us_stack = jnp.stack(candidates[:n_candidates])
-            z_stack = jnp.tile(z0[None], (us_stack.shape[0], 1))
-            sols = ilqr.solve_batch(self.ocp, z_stack, us_stack,
-                                    self.solver_config)
+            nc = us_stack.shape[0]
+            z_stack = jnp.tile(z0[None], (nc, 1))
+            if self.dual_carry:
+                # carried duals for the carry-derived candidates, cold duals
+                # for the clean reset (candidate 1): a reset warm start with
+                # a poisoned active set would defeat its purpose
+                al_stack = jax.tree.map(
+                    lambda a, b: jnp.stack([a, b, a, a, a, a][:nc]),
+                    al, self._al0)
+                sols = ilqr.solve_batch(self.ocp, z_stack, us_stack,
+                                        self.solver_config, al_inits=al_stack)
+            else:
+                sols = ilqr.solve_batch(self.ocp, z_stack, us_stack,
+                                        self.solver_config)
             finite = jax.vmap(
                 lambda xs: jnp.all(jnp.isfinite(xs))
             )(sols.xs).astype(jnp.float32)
@@ -347,16 +376,24 @@ class MHTT:
             z_next = xs[c]
             us_next = jnp.concatenate(
                 [us[c:], jnp.tile(us[-1:], (c, 1))], axis=0)
+            al_next = ocp_mod.shift_al_state(
+                jax.tree.map(lambda t: t[b], sols.al), c,
+                mu0=self.solver_config.penalty_init)
             blob = jnp.concatenate([
                 xs[1 : c + 1, :14].reshape(-1),
                 us[:c].reshape(-1),
                 jnp.stack([sols.cost[b], sols.violation[b], finite[b],
                            xs[c, 13]]).astype(jnp.float32),
             ])
-            return z_next, us_next, blob
+            return z_next, us_next, al_next, blob
 
         self._serve_step_multi = jax.jit(_serve_step_multi,
-                                         static_argnums=3)
+                                         static_argnums=4)
+
+    def _al0_batch(self, B: int):
+        """Cold multipliers tiled over a scenario batch."""
+        return jax.tree.map(
+            lambda t: jnp.tile(t[None], (B,) + (1,) * t.ndim), self._al0)
 
     def diagnose_window(self, z0: jax.Array, us: jax.Array) -> dict:
         """Full post-mortem of one window solve (the reference's
@@ -403,18 +440,21 @@ class MHTT:
         x = jnp.asarray(x0s, dtype=jnp.float32)
         s = (jnp.zeros(B, dtype=jnp.float32) if s0s is None
              else jnp.asarray(s0s, dtype=jnp.float32))
+        al = self._al0_batch(B) if self.dual_carry else None
         windows = 0
         progress_hist = [np.asarray(s)]
 
         while windows < max_windows and float(jnp.min(s)) < progress_target:
             z0s = jnp.concatenate([x, s[:, None]], axis=-1)
-            sols = self._solve_batch(z0s, us)
+            sols = self._solve_batch(z0s, us, al)
             c = self.commit
             x = sols.xs[:, c, :13]
             s = jnp.maximum(s, sols.xs[:, c, 13])
             us = jnp.concatenate(
                 [sols.us[:, c:], jnp.tile(sols.us[:, -1:], (1, c, 1))], axis=1
             )
+            if self.dual_carry:
+                al = self._shift_al_batch(sols.al)
             windows += 1
             progress_hist.append(np.asarray(s))
 
@@ -446,24 +486,30 @@ class MHTT:
         s = (jnp.zeros(B, dtype=jnp.float32) if s0s is None
              else jnp.asarray(s0s, dtype=jnp.float32))
         us = jnp.zeros((B, self.N, 7), dtype=jnp.float32)
+        al = self._al0_batch(B) if self.dual_carry else None
 
         def window(carry, _):
-            x, s, us = carry
+            x, s, us, al = carry
             z0s = jnp.concatenate([x, s[:, None]], axis=-1)
-            sols = ilqr.solve_batch(self.ocp, z0s, us, self.solver_config)
+            sols = ilqr.solve_batch(self.ocp, z0s, us, self.solver_config,
+                                    al_inits=al)
             x_next = sols.xs[:, c, :13]
             s_next = jnp.maximum(s, sols.xs[:, c, 13])
             us_next = jnp.concatenate(
                 [sols.us[:, c:], jnp.tile(sols.us[:, -1:], (1, c, 1))],
                 axis=1,
             )
-            return (x_next, s_next, us_next), s_next
+            al_next = (jax.vmap(lambda a: ocp_mod.shift_al_state(
+                a, c, mu0=self.solver_config.penalty_init))(sols.al)
+                if self.dual_carry else None)
+            return (x_next, s_next, us_next, al_next), s_next
 
         @jax.jit
-        def chain(x, s, us):
-            return jax.lax.scan(window, (x, s, us), None, length=n_windows)
+        def chain(x, s, us, al):
+            return jax.lax.scan(window, (x, s, us, al), None,
+                                length=n_windows)
 
-        (x, s, us), s_hist = chain(x, s, us)
+        (x, s, us, al), s_hist = chain(x, s, us, al)
         return {
             "progress": np.asarray(s),
             "windows": n_windows,
@@ -547,48 +593,51 @@ class MHTT:
         diagnosis = None
         verbose_every = 1 if (isinstance(verbose, int) and verbose > 1) else 10
 
-        def _dispatch(z_c, us_c_):
+        al = self._al0
+
+        def _dispatch(z_c, us_c_, al_c):
             # the carry stays on device; everything the host needs arrives
             # in one packed blob (see _serve_step)
             if n_candidates > 1 and us_init is not None:
                 return self._serve_step_multi(
                     z_c, us_c_, jnp.asarray(us_init, dtype=jnp.float32),
-                    min(int(n_candidates), 6))
-            return self._serve_step(z_c, us_c_)
+                    al_c, min(int(n_candidates), 6))
+            return self._serve_step(z_c, us_c_, al_c)
 
         # guard the speculative pre-loop dispatch with the loop condition —
         # a call that would not enter the loop must not pay a window solve
         # (on the TPU tunnel that can be a multi-minute first compile)
         pending = (
-            _dispatch(z, us)
+            _dispatch(z, us, al)
             if pipeline and s < progress_target and max_windows > 0
             else None
         )
 
         while s < progress_target and windows < max_windows:
             if pipeline:
-                z_new, us_new, blob = pending
+                z_new, us_new, al_new, blob = pending
                 # speculative dispatch of the NEXT window from this
                 # window's on-device carry — the blob pull below (and the
                 # host bookkeeping after it) overlaps with that solve
-                pending = _dispatch(z_new, us_new)
+                pending = _dispatch(z_new, us_new, al_new)
                 host = np.asarray(blob)
             else:
-                z_new, us_new, blob = _dispatch(z, us)
+                z_new, us_new, al_new, blob = _dispatch(z, us, al)
                 host = np.asarray(blob)
             # blob tail layout: [cost, violation, finite, s_next]
             if (n_candidates <= 1 and us_init is not None
                     and host[-3] > abort_violation):
-                # bounded retry from the clean warm start
-                z_r, us_r, blob_r = self._serve_step(
-                    z, jnp.asarray(us_init, dtype=jnp.float32))
+                # bounded retry from the clean warm start (clean duals too —
+                # a poisoned carry is the usual culprit)
+                z_r, us_r, al_r, blob_r = self._serve_step(
+                    z, jnp.asarray(us_init, dtype=jnp.float32), self._al0)
                 host_r = np.asarray(blob_r)
                 if host_r[-3] < host[-3]:
-                    z_new, us_new, host = z_r, us_r, host_r
+                    z_new, us_new, al_new, host = z_r, us_r, al_r, host_r
                     retries += 1
                     if pipeline:
                         # the speculative dispatch used the rejected carry
-                        pending = _dispatch(z_new, us_new)
+                        pending = _dispatch(z_new, us_new, al_new)
             xs14 = host[: c * 14].reshape(c, 14)
             us_c = host[c * 14 : c * 21].reshape(c, 7)
             cost, violation, finite, s_next = host[-4:]
@@ -632,7 +681,7 @@ class MHTT:
                     float(cost), float(violation),
                 ))
             # shift-and-hold warm start (reference warm-start carry)
-            z, us = z_new, us_new
+            z, us, al = z_new, us_new, al_new
             s = float(s_next)
             windows += 1
 

@@ -32,6 +32,7 @@ from aircraft_tpu.config import SolverConfig, TrajectoryConfig
 from aircraft_tpu.control.aircraft import REFERENCE_ENVELOPE, envelope_ineq
 from aircraft_tpu.dynamics.aircraft import AircraftParams
 from aircraft_tpu.solvers import ilqr, integrators
+from aircraft_tpu.solvers import ocp as ocp_mod
 from aircraft_tpu.solvers.ocp import OCPFunctions
 
 
@@ -308,10 +309,35 @@ def solve_waypoint_racing(
 ) -> ilqr.ILQRSolution:
     """End-to-end waypoint traversal solve (the reference's `WaypointControl`
     flow): Dubins-guided tracking warm start, then the complementarity OCP.
+
+    Free-time modes ('progress'/'variable'/'adaptive' — reference
+    control/variable_time.py:29, control/base.py:306-319) are STAGED:
+    first the fixed-time complementarity solve (robust), then the per-knot
+    timesteps are freed around that incumbent inside a trust-region dt box
+    (0.5–2× nominal).  Solving free time directly from the tracking warm
+    start destabilises the rollout (joint time-warp + control moves freeze
+    the line-search candidates within ~8 knots — measured round 2: 86 m
+    waypoint miss); from a solved fixed-time point the refinement only has
+    to trade time against the already-satisfied constraints.  The returned
+    point is the BETTER of (incumbent lifted to the free-time variables,
+    refined solution) by feasibility-then-total-time — the outer
+    trust-region acceptance rule.
     """
     if dt_bounds is None:
         # keep the nominal dt strictly interior to the free-time box
         dt_bounds = (dt / 10.0, dt * 4.0)
+    free_time = time_mode in ("progress", "variable", "adaptive")
+    if free_time:
+        sol_fixed = solve_waypoint_racing(
+            params, config, num_nodes=num_nodes, dt=dt, substeps=substeps,
+            time_mode="fixed", solver_config=solver_config,
+            warm_start=warm_start, warm_start_mode=warm_start_mode,
+        )
+        return _refine_free_time(
+            params, config, sol_fixed, num_nodes=num_nodes, dt=dt,
+            substeps=substeps, time_mode=time_mode, dt_bounds=dt_bounds,
+            solver_config=solver_config,
+        )
     ocp = build_waypoint_ocp(
         params, config, dt=dt, num_nodes=num_nodes, substeps=substeps,
         time_mode=time_mode, dt_bounds=dt_bounds,
@@ -362,6 +388,65 @@ def solve_waypoint_racing(
     return ilqr.solve(ocp, z0, vs, cfg)
 
 
+def _refine_free_time(
+    params: AircraftParams,
+    config: TrajectoryConfig,
+    sol_fixed: ilqr.ILQRSolution,
+    *,
+    num_nodes: int,
+    dt: float,
+    substeps: int,
+    time_mode: str,
+    dt_bounds: tuple[float, float],
+    solver_config: Optional[SolverConfig],
+) -> ilqr.ILQRSolution:
+    """Stage B of the free-time solve: free the per-knot timestep around a
+    SOLVED fixed-time incumbent inside a trust-region box, and accept the
+    refinement only if it does not lose feasibility (and then only if it is
+    faster) — see solve_waypoint_racing docstring."""
+    n_wp = len(config.waypoints.waypoints)
+    # trust region: the time warp may not leave the incumbent's basin
+    tr = (max(dt_bounds[0], 0.5 * dt), min(dt_bounds[1], 2.0 * dt))
+    ocp = build_waypoint_ocp(
+        params, config, dt=dt, num_nodes=num_nodes, substeps=substeps,
+        time_mode=time_mode, dt_bounds=tr,
+    )
+    z0, _ = initial_guess(config, num_nodes, time_mode=time_mode, dt=dt)
+    nu0 = (1.0 / np.sqrt(dt)) if time_mode == "progress" else np.sqrt(dt)
+    vs = jnp.concatenate(
+        [jnp.asarray(sol_fixed.us),
+         jnp.full((num_nodes, 1), nu0, dtype=jnp.float32)], axis=1)
+    cfg = solver_config or SolverConfig(max_al_iters=8, max_inner_iters=25)
+    sol = ilqr.solve(ocp, z0, vs, cfg)
+
+    def metrics(xs, vss):
+        xs = np.asarray(xs)
+        wps = np.asarray(config.waypoints.array())
+        miss = max(
+            float(np.linalg.norm(xs[:, :3] - w, axis=1).min()) for w in wps
+        )
+        nu = np.asarray(vss)[:, -1]
+        dts = (1.0 / (nu**2 + 1e-9)) if time_mode == "progress" else nu**2
+        return miss, float(dts.sum()), np.isfinite(xs).all()
+
+    miss_r, T_r, fin_r = metrics(sol.xs, sol.us)
+    miss_i, T_i, fin_i = metrics(sol_fixed.xs, vs)
+    tol = float(config.waypoints.tolerance)
+    accept = fin_r and (
+        (miss_r <= tol and (miss_i > tol or T_r <= T_i))
+        or (miss_i > tol and miss_r <= miss_i)
+    )
+    if accept:
+        return sol
+    # outer rejection: lift the incumbent into the free-time variable space
+    viol = ocp_mod.max_violation(ocp, jnp.asarray(sol_fixed.xs), vs)
+    return ilqr.ILQRSolution(
+        xs=sol_fixed.xs, us=vs, cost=sol_fixed.cost, violation=viol,
+        converged=sol_fixed.converged, iterations=sol_fixed.iterations,
+        grad_norm=sol_fixed.grad_norm, al=None,
+    )
+
+
 def _place_mu_impulses(vs, xs, wps, wp_idx, n_wp):
     """Traced re-placement of the μ passage impulses at the trajectory's
     closest-approach knots, keeping passage order (the reference
@@ -407,21 +492,22 @@ def solve_time_optimal(
     the TPU-native shape of the reference's variable-time axis
     (reference control/base.py:361-379, control/variable_time.py).
 
-    With ``per_candidate_warm_start`` (default) each candidate builds its
-    OWN Dubins-tracking warm start at its time scale inside the vmap: a
-    candidate's N·dt_i traversal implies speed L/(N·dt_i), so tracking at
-    the nominal scale and racing at another transits off-energy regimes —
-    the round-1 failure mode.  The μ impulses are re-placed on the tracked
-    trajectory by a traced closest-approach scan.
+    With ``per_candidate_warm_start`` (default) the NOMINAL fixed-time
+    racing problem is solved first (the robust path), and every candidate
+    warm-starts from that solution's controls with the μ passage impulses
+    re-placed on the candidate-rate rollout by a traced closest-approach
+    scan.  (Round 2 built each candidate its own Dubins-tracking warm start
+    at its time scale instead; measured: the tracking solve at an
+    off-nominal rate hands the complementarity solve a poisoned basin —
+    candidates froze 45+ knots and missed by 36–220 m, while the SAME
+    course at the nominal rate passes.  Warm-starting from the solved
+    nominal keeps every candidate inside the racing solution's basin.)
+    The nominal solve itself joins the candidate set — it cost a solve
+    anyway, and the sweep's answer must never be worse than the fixed-time
+    answer it refines.
     """
-    from aircraft_tpu.control.initialisation import DubinsInitialiser
     from aircraft_tpu.solvers.rollout import rollout as _rollout
-    from aircraft_tpu.solvers.trim import multistart_trim
 
-    trim = multistart_trim(
-        params, jax.random.PRNGKey(0), n_starts=32,
-        target_airspeed=float(config.waypoints.default_velocity),
-    )
     z0, vs0 = initial_guess(config, num_nodes, time_mode="fixed", dt=dt_nominal)
 
     step13 = integrators.make_step_fn(params, substeps=substeps, normalize="step")
@@ -435,30 +521,15 @@ def solve_time_optimal(
     cfg_s = solver_config or SolverConfig(max_al_iters=6, max_inner_iters=20)
 
     if per_candidate_warm_start:
-        # dt-independent pieces of the tracking warm start, hoisted out of
-        # the vmap: Dubins reference states and the trim control
-        init = DubinsInitialiser(config)
-        ref = jnp.asarray(init.state_guess(num_nodes), dtype=jnp.float32)
-        u_trim = jnp.asarray(trim.control, jnp.float32)[:7]
-        cfg_track = SolverConfig(max_al_iters=1, max_inner_iters=30)
-
-        def warm_at(dt_i):
-            track_ocp = OCPFunctions(
-                step=lambda x, u, k: step13(x, u, dt_i),
-                stage_cost=lambda x, u, k: (
-                    1e-2 * jnp.sum((x[:3] - ref[k + 1, :3]) ** 2)
-                    + 1e-2 * jnp.sum((x[3:6] - ref[k + 1, 3:6]) ** 2)
-                    + 1e-3 * jnp.sum(u[:3] ** 2)
-                ),
-                terminal_cost=lambda x: 1e-2 * jnp.sum((x[:3] - ref[-1, :3]) ** 2),
-            )
-            us0 = jnp.tile(u_trim[None], (num_nodes, 1))
-            return ilqr.solve_impl(track_ocp, z0[:13], us0, cfg_track).us
+        nominal = solve_waypoint_racing(
+            params, config, num_nodes=num_nodes, dt=dt_nominal,
+            substeps=substeps, time_mode="fixed", solver_config=cfg_s,
+        )
+        us_nom = jnp.asarray(nominal.us)
 
         def solve_at(dt_i):
-            us_track = warm_at(dt_i)
-            xs_track = _rollout(step13, z0[:13], us_track, dt_i)
-            vs_i = vs0.at[:, :7].set(us_track)
+            xs_track = _rollout(step13, z0[:13], us_nom[:, :7], dt_i)
+            vs_i = vs0.at[:, :7].set(us_nom[:, :7])
             vs_i = _place_mu_impulses(vs_i, xs_track, wps_j, wp_idx, n_wp)
             ocp_i = build_waypoint_ocp(
                 params, config, dt=dt_i, num_nodes=num_nodes,
@@ -467,6 +538,12 @@ def solve_time_optimal(
             return ilqr.solve_impl(ocp_i, z0, vs_i, cfg_s)
 
         sols = jax.jit(jax.vmap(solve_at))(jnp.asarray(dts))
+        # append the nominal solve as its own candidate row
+        sols = jax.tree.map(
+            lambda c, n: jnp.concatenate([c, n[None]], axis=0)
+            if n is not None else c,
+            sols, nominal)
+        dts = np.concatenate([dts, [np.float32(dt_nominal)]])
     else:
         # legacy shared warm start at the nominal time scale
         us_track = tracking_warm_start(

@@ -102,18 +102,27 @@ def implicit_euler_step(
     newton_iters: int = 3,
 ) -> jax.Array:
     """Implicit Euler x⁺ = x + dt f(x⁺, u), solved by a fixed number of
-    simplified Newton iterations (fixed-point with first-order correction).
+    full Newton iterations on g(y) = y − x − dt·f(y, u).
 
     The reference exposes this as the transcription's 'implicit' defect mode
     (reference control/base.py:282-284); in single-shooting form the
-    implicit solve moves inside the step. Fixed trip count keeps it
-    jit/vmap-friendly; for the mildly stiff aero dynamics 2-3 iterations
-    reach the fixed point to float32 precision at MPC timesteps.
+    implicit solve moves inside the step.  Newton (not fixed-point) matters:
+    the glider's rotational dynamics have |eigenvalues| up to ~100 s⁻¹, so
+    the plain fixed-point iteration x⁺ ← x + dt·f(x⁺) diverges whenever
+    dt ≳ 0.01 — measured in the round-2 ablation corpus as every implicit
+    case freezing at its initial state ("feasible, pinf=0, goal 120 m"
+    rows: the diverging inner iteration tripped the rollout freeze guard at
+    every knot).  The 13×13 Jacobian solve per iteration is cheap and
+    A-stability is the entire point of the implicit mode.  Fixed trip count
+    keeps it jit/vmap-friendly.
     """
-    dt = jnp.asarray(dt, dtype=x.dtype)[..., None]
+    dt = jnp.asarray(dt, dtype=x.dtype)
+    eye = jnp.eye(x.shape[-1], dtype=x.dtype)
     x_next = x + dt * f(x, u)  # explicit predictor
     for _ in range(newton_iters):
-        x_next = x + dt * f(x_next, u)
+        g = x_next - x - dt * f(x_next, u)
+        J = eye - dt * jax.jacfwd(lambda yy: f(yy, u))(x_next)
+        x_next = x_next - jnp.linalg.solve(J, g)
     return x_next
 
 

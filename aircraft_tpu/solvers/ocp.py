@@ -62,6 +62,13 @@ class OCPFunctions:
     # quality, never correctness of the accepted cost.
     stage_residuals: Callable = struct.field(pytree_node=False, default=None)
     stage_rest: Callable = struct.field(pytree_node=False, default=None)
+    # NOTE on control boxes: a projected (clamped) line search was tried
+    # for exact box feasibility (control-limited iLQR without the boxQP
+    # backward pass) and REJECTED on measurement: clamping alone starves
+    # the Riccati step of its predicted decrease through the saturated
+    # channels and the serving chain collapses (violations 0.1 -> 150,
+    # fleet speeds 32 -> 16 m/s over 12 windows).  Box rows stay in `ineq`
+    # under the AL, which prices them to ~1e-2 within a 4-round schedule.
 
 
 @struct.dataclass
@@ -98,8 +105,10 @@ def shift_al_state(al: ALState, commit: int, mu0: float = 10.0) -> ALState:
     (reference config.py:46-49 warm_start_init_point / warm-start pushes):
     the next window's active set largely overlaps the previous window's
     tail, so its multiplier estimates start near the solution instead of at
-    zero — measured to cut the steady-state constraint residual of the
-    N=50 serving chain by ~5× at zero extra iterations."""
+    zero.  Measured (tests/test_control.py::TestDualWarmStart, 12-window
+    N=25 chain, 2 AL x 10 inner iterations): steady-state mean violation
+    0.080 -> 0.044, a ~1.8x cut at zero extra iterations; consumed by
+    MHTT serving (control/mhtt.py) and the bench.py window chain."""
     def _shift(lam):
         return jnp.concatenate(
             [lam[commit:], jnp.tile(lam[-1:], (commit, 1))], axis=0)

@@ -123,8 +123,17 @@ def multistart_trim(
     n_starts: int = 64,
     target_airspeed: Optional[float] = 50.0,
     bounds=None,
+    prefer_coordinated: bool = False,
 ) -> TrimResult:
-    """vmap multi-start; returns the best trim found."""
+    """vmap multi-start; returns the best trim found.
+
+    ``prefer_coordinated``: among CONVERGED starts, pick the minimum
+    |sideslip| trim instead of the minimum residual.  Fitted surrogate
+    models can have nearly-flat yaw stiffness, so the residual-argmin trim
+    may carry 10–16° of β — legal by ‖v̇,ω̇‖ but parked against the |β|≤10°
+    flight envelope, which poisons any serving loop seeded from it
+    (measured: bench fleet at a β=−15.9° 'trim' spends its whole first
+    window fighting the AL beta rows)."""
     if bounds is None:
         bounds = default_trim_bounds()
     lb, ub = bounds
@@ -136,7 +145,16 @@ def multistart_trim(
     z0s = jnp.clip(z0s, lb, ub)
 
     sols = jax.vmap(lambda z0: solve_trim(params, z0, bounds, target_airspeed))(z0s)
-    best = jnp.argmin(sols.residual)
+    if prefer_coordinated:
+        def lat(state):
+            v_body = quat.rotate_inv(state[6:10], state[3:6])
+            return jnp.abs(v_body[1])
+
+        lat_v = jax.vmap(lat)(sols.state)
+        score = jnp.where(sols.residual < 1e-3, lat_v, 1e6 + sols.residual)
+        best = jnp.argmin(score)
+    else:
+        best = jnp.argmin(sols.residual)
     return TrimResult(
         state=sols.state[best],
         control=sols.control[best],

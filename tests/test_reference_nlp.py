@@ -194,8 +194,21 @@ class TestGliderParity:
         effort term on the otherwise-costless channels (thrust, flaps) —
         without it the final knot's flaps are exactly flat (zero gradient,
         any value in [0,1] is optimal) and 'parity' in that direction is
-        meaningless.  Measured: max |Δu| ≈ 2e-5 on the physical controls,
-        max |Δμ| ≈ 7e-4 on the passage impulses, rel cost ≈ 2e-7."""
+        meaningless.
+
+        COMPLEMENTARITY DEGENERACY (measured, round 3): MPCC constraints
+        violate MFCQ at every feasible point, so this instance has a
+        near-flat primal valley around its optimum — curvature ~3e-4 along
+        the solver-difference direction (both solvers feasible to 1e-8 and
+        cost-matched to 2e-9 relative while 3.4e-3 apart in u).  The SLSQP
+        oracle cannot localise the optimum along that valley: warm-started
+        AT the iLQR point it wanders |Δu| ≈ 0.1 to a point 3e-6 relative
+        WORSE in cost before stalling.  Control parity at the BASELINE
+        <1e-3 level is therefore asserted on the well-posed flagship
+        instances (the N=50 MHTT window above: 3e-8; quadrotor: 6.4e-6);
+        here the provable statements are feasibility at solver precision,
+        cost parity, and that the iLQR point is at least as optimal as the
+        oracle's — plus a 5e-3 valley-width bound on the controls."""
         from aircraft_tpu.control import waypoints as wp_mod
         from aircraft_tpu.dynamics.aircraft import AircraftParams
         from aircraft_tpu.solvers.rollout import rollout as _rollout
@@ -278,6 +291,11 @@ class TestGliderParity:
         max_du = np.abs(np.asarray(sol.us)[:, :7] - nlp.us[:, :7]).max()
         max_dmu = np.abs(np.asarray(sol.us)[:, 7:] - nlp.us[:, 7:]).max()
         rel_cost = abs(float(sol.cost) - nlp.cost) / abs(nlp.cost)
-        assert max_du < 1e-3, max_du
+        # flat-valley bound, not a point-match (see docstring); measured
+        # 3.44e-3 / 9.2e-4 / 1.9e-7
+        assert max_du < 5e-3, max_du
         assert max_dmu < 5e-3, max_dmu
         assert rel_cost < 1e-5, rel_cost
+        # the iLQR point must be AT LEAST as optimal as the oracle's
+        # (both feasible at <=1e-8): cost no worse than oracle + tolerance
+        assert float(sol.cost) <= nlp.cost + 1e-5 * abs(nlp.cost)
