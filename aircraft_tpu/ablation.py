@@ -118,7 +118,13 @@ def run_ablation(
     solver_config: Optional[SolverConfig] = None,
 ) -> list[dict]:
     config = config or glider_config()
-    solver_config = solver_config or SolverConfig(max_al_iters=4, max_inner_iters=25)
+    # constraint_tol 0.1 = the grid's own practical-feasibility gate (the
+    # `feasible` field below): with the library default 1e-6 every row
+    # reported success_rate 0.0 regardless of outcome — a threshold
+    # artifact, not a result (round-2 verdict).  The solver's `converged`
+    # flag (and so success_rate) now states the same thing `feasible` does.
+    solver_config = solver_config or SolverConfig(
+        max_al_iters=4, max_inner_iters=25, constraint_tol=0.1)
     init = np.asarray(config.waypoints.initial_state)
     goal = init[:3] + np.array([120.0, 20.0, 10.0])
 
@@ -229,7 +235,24 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small grid")
     ap.add_argument("--out", default=None)
+    # one XLA:CPU process cannot JIT the whole 72-case grid (LLVM code-
+    # section memory exhausts around case ~40: "Unable to allocate section
+    # memory") — shard by model and merge the partials into summary.json
+    ap.add_argument("--models", default=None,
+                    help="comma-separated subset of the model axis")
+    ap.add_argument("--time-only", action="store_true",
+                    help="run only the free-time-mode rows")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge partial_*.json in --out into summary.json")
     args = ap.parse_args()
+    if args.merge:
+        rows = []
+        for p in sorted(Path(args.out).glob("partial_*.json")):
+            rows.extend(json.loads(p.read_text()))
+        summary = Path(args.out) / "summary.json"
+        summary.write_text(json.dumps(rows, indent=1))
+        print(f"merged {len(rows)} rows -> {summary}")
+        return
     if args.quick:
         rows = run_ablation(
             models=("default",), quaternion_modes=("integration", ""),
@@ -238,17 +261,26 @@ def main():
             num_nodes=20, dt=0.05, out_dir=args.out,
             solver_config=SolverConfig(max_al_iters=2, max_inner_iters=8),
         )
+        tag = "quick"
+    elif args.time_only:
+        rows = run_ablation(models=(), quaternion_modes=(),
+                            substeps_grid=(), integration_modes=(),
+                            time_modes=TIME_MODES, out_dir=args.out)
+        tag = "time"
     else:
+        models = tuple(args.models.split(",")) if args.models else MODELS
         rows = run_ablation(
-            integration_modes=INTEGRATION_MODES, time_modes=TIME_MODES,
-            out_dir=args.out,
+            models=models, integration_modes=INTEGRATION_MODES,
+            time_modes=(), out_dir=args.out,
         )
+        tag = "_".join(models)
     if args.out:
         # grid summary artifact (role of the reference's todo.md stat dumps
-        # + 175 H5 corpus, machine-readable)
-        summary = Path(args.out) / "summary.json"
-        summary.write_text(json.dumps(rows, indent=1))
-        print(f"wrote {summary}")
+        # + 175 H5 corpus, machine-readable); written as a partial shard —
+        # run with --merge to assemble summary.json
+        part = Path(args.out) / f"partial_{tag}.json"
+        part.write_text(json.dumps(rows, indent=1))
+        print(f"wrote {part}")
 
 
 if __name__ == "__main__":

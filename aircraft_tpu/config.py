@@ -311,6 +311,21 @@ class SolverConfig:
     penalty_init: float = 10.0
     penalty_scale: float = 10.0
     penalty_max: float = 1e8
+    # LANCELOT-style per-row penalty adaptation for the STAGE inequalities
+    # (solvers/ocp.ALState.mu_row): rows still violated beyond
+    # `penalty_row_target` after a multiplier update get their factor
+    # escalated; shift_al_state carries the factors across receding-horizon
+    # windows.  Off by default (bit-neutral: all-ones factors).  Measured:
+    # on a cost-conflicted constraint it prices the violated row 2.6-20x
+    # below the uniform schedule while leaving inactive rows untouched
+    # (tests/test_ilqr.py::TestPerRowPenalty); on the serving chain it is
+    # NOT a default — aggressive factors over-stiffen the multiplier
+    # updates on marginal stations (measured: two of eight fleet stations
+    # destabilise at scale 3 / cap 30) — use deliberately, per problem.
+    penalty_per_row: bool = False
+    penalty_row_scale: float = 10.0
+    penalty_row_max: float = 1e3
+    penalty_row_target: float = 1e-2
     reg_init: float = 1e-6
     reg_max: float = 1e8
     # trust-region adaptation factors: reg *= escalate on a rejected step,

@@ -125,15 +125,16 @@ def _quadraticize_gn(ocp: OCPFunctions, al: ALState, xs, us,
             cuu = jax.hessian(ocp.stage_cost, argnums=1)(x, u, k)
             cux = jax.jacfwd(lambda xx: jax.grad(ocp.stage_cost, argnums=1)(xx, u, k))(x)
 
-        # inequality block: active-set PHR
+        # inequality block: active-set PHR (per-row penalty mu * mu_row)
         g = ocp.ineq(x, u, k)
         if g.shape[-1] > 0:
             Jgx = jax.jacfwd(lambda xx: ocp.ineq(xx, u, k))(x)
             Jgu = jax.jacfwd(lambda uu: ocp.ineq(x, uu, k))(u)
             lam = al.lam_ineq[k]
-            act = (g + lam / mu) > 0.0
-            y = jnp.where(act, lam + mu * g, 0.0)
-            w = jnp.where(act, mu, 0.0)
+            mu_g = mu * al.mu_row
+            act = (g + lam / mu_g) > 0.0
+            y = jnp.where(act, lam + mu_g * g, 0.0)
+            w = jnp.where(act, mu_g, 0.0)
             cx = cx + Jgx.T @ y
             cu = cu + Jgu.T @ y
             cxx = cxx + Jgx.T @ (w[:, None] * Jgx)
@@ -377,7 +378,11 @@ def solve_impl(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
             inner_iteration, inner0, None, length=config.max_inner_iters
         )
         al = ocp_mod.update_multipliers(
-            ocp, al, xs, us, config.penalty_scale, config.penalty_max
+            ocp, al, xs, us, config.penalty_scale, config.penalty_max,
+            row_adapt=config.penalty_per_row,
+            row_scale=config.penalty_row_scale,
+            row_max=config.penalty_row_max,
+            row_target=config.penalty_row_target,
         )
         return (xs, us, nfro, al, n_iters_total + n_inner, grad_norm), None
 

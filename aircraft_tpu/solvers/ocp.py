@@ -80,6 +80,17 @@ class ALState:
     lam_t_ineq: jax.Array    # (n_t_ineq,)
     lam_t_eq: jax.Array      # (n_t_eq,)
     mu: jax.Array            # scalar penalty
+    # per-ROW multiplicative penalty factors for the stage inequalities
+    # (LANCELOT-style differential penalties): the effective penalty of
+    # stage-ineq row i is mu * mu_row[i].  Stays all-ones (bit-identical
+    # to the scalar scheme) unless SolverConfig.penalty_per_row escalates
+    # rows that remain violated after a multiplier update.  Carried across
+    # receding-horizon windows by shift_al_state, so a persistently-active
+    # row (e.g. a control-box channel the cost wants to exploit) gets
+    # priced to target without stiffening the whole problem — uniformly
+    # carrying mu=1e4 collapsed the serving chain (violations 0.1 -> 150),
+    # while per-row ratcheting leaves the tracking dynamics gentle.
+    mu_row: jax.Array = None  # (n_ineq,)
 
 
 def init_al_state(ocp: OCPFunctions, x0: jax.Array, u0: jax.Array, N: int,
@@ -95,6 +106,7 @@ def init_al_state(ocp: OCPFunctions, x0: jax.Array, u0: jax.Array, N: int,
         lam_t_ineq=z((n_ti,)),
         lam_t_eq=z((n_te,)),
         mu=jnp.asarray(mu0),
+        mu_row=jnp.ones((n_ineq,)),
     )
 
 
@@ -119,21 +131,26 @@ def shift_al_state(al: ALState, commit: int, mu0: float = 10.0) -> ALState:
         lam_t_ineq=al.lam_t_ineq,
         lam_t_eq=al.lam_t_eq,
         mu=jnp.asarray(mu0, dtype=al.mu.dtype),
+        # per-row factors are window-position-free — carry them verbatim
+        # (this is the cross-window ratchet; see ALState.mu_row)
+        mu_row=al.mu_row,
     )
 
 
 def al_stage_cost(ocp: OCPFunctions, al: ALState, x, u, k):
     """Stage cost + AL penalty terms.
 
-    Inequalities use the standard PHR form: active when g + λ/μ > 0."""
+    Inequalities use the standard PHR form: active when g + λ/μ > 0;
+    per-row effective penalty μᵢ = mu · mu_row[i] (see ALState.mu_row)."""
     c = ocp.stage_cost(x, u, k)
     g = ocp.ineq(x, u, k)
     h = ocp.eq(x, u, k)
     lam_g = al.lam_ineq[k]
     lam_h = al.lam_eq[k]
     mu = al.mu
-    gplus = jnp.maximum(g + lam_g / mu, 0.0)
-    c = c + 0.5 * mu * jnp.sum(gplus * gplus) - 0.5 * jnp.sum(lam_g * lam_g) / mu
+    mu_g = mu * al.mu_row
+    gplus = jnp.maximum(g + lam_g / mu_g, 0.0)
+    c = c + 0.5 * jnp.sum(mu_g * gplus * gplus) - 0.5 * jnp.sum(lam_g * lam_g / mu_g)
     c = c + jnp.sum(lam_h * h) + 0.5 * mu * jnp.sum(h * h)
     return c
 
@@ -185,27 +202,49 @@ def max_violation(ocp: OCPFunctions, xs, us):
 
 
 def update_multipliers(ocp: OCPFunctions, al: ALState, xs, us,
-                       penalty_scale: float, penalty_max: float) -> ALState:
-    """First-order multiplier update + penalty increase (outer AL step)."""
+                       penalty_scale: float, penalty_max: float,
+                       row_adapt: bool = False, row_scale: float = 10.0,
+                       row_max: float = 1e3,
+                       row_target: float = 1e-2) -> ALState:
+    """First-order multiplier update + penalty increase (outer AL step).
+
+    ``row_adapt`` additionally escalates the PER-ROW factor of every stage
+    inequality row whose worst-over-the-horizon violation still exceeds
+    ``row_target`` (LANCELOT-style differential penalties; see
+    ALState.mu_row).  Rows at target keep their factor — no decay, so a
+    factor ratcheted up in one receding-horizon window stays priced in the
+    next."""
     N = us.shape[0]
     ks = jnp.arange(N)
     mu = al.mu
+    mu_g = mu * al.mu_row
 
     def upd(x, u, k):
         g = ocp.ineq(x, u, k)
         h = ocp.eq(x, u, k)
         return (
-            jnp.maximum(al.lam_ineq[k] + mu * g, 0.0),
+            jnp.maximum(al.lam_ineq[k] + mu_g * g, 0.0),
             al.lam_eq[k] + mu * h,
+            jnp.maximum(g, 0.0),
         )
 
-    lam_ineq, lam_eq = jax.vmap(upd)(xs[:-1], us, ks)
+    lam_ineq, lam_eq, gplus = jax.vmap(upd)(xs[:-1], us, ks)
     lam_t_ineq = jnp.maximum(al.lam_t_ineq + mu * ocp.terminal_ineq(xs[-1]), 0.0)
     lam_t_eq = al.lam_t_eq + mu * ocp.terminal_eq(xs[-1])
+    if row_adapt:
+        v_row = jnp.max(gplus, axis=0)  # worst violation per row
+        mu_row = jnp.where(
+            v_row > row_target,
+            jnp.minimum(al.mu_row * row_scale, row_max),
+            al.mu_row,
+        )
+    else:
+        mu_row = al.mu_row
     return ALState(
         lam_ineq=lam_ineq,
         lam_eq=lam_eq,
         lam_t_ineq=lam_t_ineq,
         lam_t_eq=lam_t_eq,
         mu=jnp.minimum(mu * penalty_scale, penalty_max),
+        mu_row=mu_row,
     )

@@ -326,7 +326,7 @@ def _build_problem():
         # profile is anchored to end 20 m above ground — a scenario far
         # along the course simply launched higher/earlier.  Course
         # feasibility from the declared start is the course solver's story
-        # (examples/waypoint_course.py), not the serving bench's.
+        # (examples/full_course.py), not the serving bench's.
         z_end = float(np.asarray(track.track_points)[:, 2].max())
         z_shift = max(0.0, z_end + 20.0)
         track.track_points = track.track_points.at[:, 2].add(-z_shift)
@@ -551,6 +551,9 @@ def bench_warm():
         hessian="gauss_newton",
         reg_escalate=float(os.environ.get("BENCH_ESC", "100")),
         scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
+        # per-row penalty ratchet (solvers/ocp.ALState.mu_row), carried
+        # across windows by the dual carry — opt-in A/B via BENCH_ROWPEN=1
+        penalty_per_row=os.environ.get("BENCH_ROWPEN", "0") == "1",
     )
     B, N = BATCH, N_HORIZON
     commit = N - 30  # reference overlap=30 (main/mhe/mhtt.py:62,77)
@@ -622,6 +625,9 @@ def bench_serve():
         hessian="gauss_newton",
         reg_escalate=float(os.environ.get("BENCH_ESC", "100")),
         scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
+        # per-row penalty ratchet (solvers/ocp.ALState.mu_row), carried
+        # across windows by the dual carry — opt-in A/B via BENCH_ROWPEN=1
+        penalty_per_row=os.environ.get("BENCH_ROWPEN", "0") == "1",
     )
     N = N_HORIZON
     commit = N - 30                      # reference overlap=30
@@ -793,6 +799,9 @@ def bench_roofline():
         hessian="gauss_newton",
         reg_escalate=float(os.environ.get("BENCH_ESC", "100")),
         scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
+        # per-row penalty ratchet (solvers/ocp.ALState.mu_row), carried
+        # across windows by the dual carry — opt-in A/B via BENCH_ROWPEN=1
+        penalty_per_row=os.environ.get("BENCH_ROWPEN", "0") == "1",
     )
     x0s = _bench_initial_states(cfg, BATCH)
     us0 = jnp.zeros((BATCH, N_HORIZON, 7), dtype=jnp.float32)
@@ -1024,6 +1033,9 @@ def main():
         hessian="gauss_newton",
         reg_escalate=float(os.environ.get("BENCH_ESC", "100")),
         scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
+        # per-row penalty ratchet (solvers/ocp.ALState.mu_row), carried
+        # across windows by the dual carry — opt-in A/B via BENCH_ROWPEN=1
+        penalty_per_row=os.environ.get("BENCH_ROWPEN", "0") == "1",
     )
 
     if os.environ.get("BENCH_RAW"):

@@ -157,3 +157,67 @@ class TestScanUnroll:
                 err_msg=f"unroll={unroll}")
             np.testing.assert_allclose(
                 float(sols[unroll].cost), float(sols[1].cost), rtol=1e-5)
+
+
+class TestPerRowPenalty:
+    """LANCELOT-style per-row penalty adaptation (SolverConfig.penalty_per_row
+    / ocp.ALState.mu_row): rows that stay violated after a multiplier update
+    get their OWN penalty escalated, without stiffening the rest of the
+    problem.  Built for receding-horizon serving, where a uniformly carried
+    large penalty collapses the chain (see ocp.py notes)."""
+
+    def _ceiling_ocp(self):
+        """Double integrator whose cost pulls the position to 2.0 against a
+        hard ceiling x <= 1: the ceiling row is in direct conflict with the
+        cost (stays violated under a weak penalty schedule), while a second
+        never-active row must keep its factor at exactly 1."""
+        import jax.numpy as jnp
+
+        from aircraft_tpu.solvers.ocp import OCPFunctions
+
+        dt = 0.1
+        A = jnp.asarray([[1.0, dt], [0.0, 1.0]])
+        B = jnp.asarray([[0.5 * dt**2], [dt]])
+        return OCPFunctions(
+            step=lambda x, u, k: A @ x + B @ u,
+            stage_cost=lambda x, u, k: (
+                100.0 * (x[0] - 2.0) ** 2 + 1e-3 * jnp.sum(u * u)),
+            terminal_cost=lambda x: 100.0 * (x[0] - 2.0) ** 2,
+            ineq=lambda x, u, k: jnp.stack([x[0] - 1.0, -x[0] - 50.0]),
+        )
+
+    def test_row_ratchet_prices_conflicted_row_selectively(self):
+        import jax.numpy as jnp
+
+        from aircraft_tpu.config import SolverConfig
+
+        ocp = self._ceiling_ocp()
+        x0 = jnp.zeros(2)
+        us0 = jnp.zeros((20, 1))
+        # deliberately weak uniform schedule: mu 1 -> 4 over 3 rounds
+        base = dict(max_al_iters=4, max_inner_iters=12, penalty_init=1.0,
+                    penalty_scale=2.0)
+        sol_off = ilqr.solve(ocp, x0, us0, SolverConfig(**base))
+        sol_on = ilqr.solve(
+            ocp, x0, us0,
+            SolverConfig(**base, penalty_per_row=True,
+                         penalty_row_scale=10.0, penalty_row_max=1e3,
+                         penalty_row_target=1e-3),
+        )
+        v_off = float(sol_off.violation)
+        v_on = float(sol_on.violation)
+        assert v_off > 1e-2  # the uniform schedule genuinely under-prices
+        assert v_on < 0.2 * v_off, (v_on, v_off)
+        mu_row = np.asarray(sol_on.al.mu_row)
+        assert mu_row[0] > 1.0          # conflicted row escalated
+        assert mu_row[1] == 1.0         # inactive row untouched
+
+    def test_row_factors_off_by_default_and_bit_neutral_shape(self):
+        import jax.numpy as jnp
+
+        from aircraft_tpu.config import SolverConfig
+
+        ocp = self._ceiling_ocp()
+        sol = ilqr.solve(ocp, jnp.zeros(2), jnp.zeros((10, 1)),
+                         SolverConfig(max_al_iters=2, max_inner_iters=5))
+        np.testing.assert_array_equal(np.asarray(sol.al.mu_row), 1.0)

@@ -46,6 +46,21 @@ class TestImplicitIntegrator:
         x = fn(trim_state(), jnp.zeros(7), 0.01)
         assert np.all(np.isfinite(np.asarray(x)))
 
+    def test_implicit_stable_and_advances_at_stiff_dt(self):
+        """Regression for the round-2 fixed-point implementation: at
+        dt = 0.05 the plain fixed-point iteration diverges on the stiff
+        rotational dynamics (|eig| up to ~100 s⁻¹, dt·L > 1), which froze
+        every implicit ablation case at its initial state.  The Newton
+        solve must stay finite, bounded, and actually MOVE the aircraft."""
+        params = AircraftParams.from_config(CFG.aircraft)
+        step = integrators.make_step_fn(
+            params, substeps=1, normalize="step", integration="implicit")
+        xs = np.asarray(rollout(step, trim_state(), jnp.zeros((40, 7)), 0.05))
+        assert np.all(np.isfinite(xs))
+        assert np.abs(xs).max() < 1e4
+        moved = np.linalg.norm(xs[-1, :3] - xs[0, :3])
+        assert moved > 50.0, moved  # 2 s of ~50 m/s flight, not a freeze
+
 
 class TestMHE:
     def test_recovers_injected_wind(self):
