@@ -113,7 +113,7 @@ def course_track(
 # with the serving bench so its steady-state feasibility is measured on the
 # configuration that actually flies the course
 COURSE_OCP_KNOBS = dict(
-    w_speed=0.2, w_rate=0.2, alpha_guard_deg=10.0,
+    w_speed=0.2, w_rate=0.2, alpha_guard_deg=10.0, beta_guard_deg=9.0,
     progress_correction=0.10, stall_guard=(0.0, 20.0),
     envelope_overrides={
         "speed_bounds": (20.0, 100.0),

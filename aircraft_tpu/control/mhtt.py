@@ -72,6 +72,7 @@ def build_mhtt_ocp(
     w_speed: float = 0.0,
     w_rate: float = 0.0,
     alpha_guard_deg: float = 0.0,
+    beta_guard_deg: float = 0.0,
     envelope_overrides: Optional[dict] = None,
     stall_guard: tuple[float, float] = (2.0, 10.0),
 ) -> OCPFunctions:
@@ -176,15 +177,29 @@ def build_mhtt_ocp(
         # (chaotic) post-stall boundary where line-search candidates freeze
         if w_rate > 0.0:
             parts.append(jnp.sqrt(2.0 * w_rate) * x[..., 10:13])
-        if alpha_guard_deg > 0.0:
+        if alpha_guard_deg > 0.0 or beta_guard_deg > 0.0:
             from aircraft_tpu.dynamics import aircraft as _ac2
 
             aero = _ac2.aero_state(params, x, u)
-            a_lim = jnp.deg2rad(alpha_guard_deg)
-            parts.append(
-                jnp.sqrt(20.0)
-                * jnp.maximum(jnp.abs(aero.alpha) - a_lim, 0.0)[..., None]
-            )
+            if alpha_guard_deg > 0.0:
+                a_lim = jnp.deg2rad(alpha_guard_deg)
+                parts.append(
+                    jnp.sqrt(20.0)
+                    * jnp.maximum(jnp.abs(aero.alpha) - a_lim, 0.0)[..., None]
+                )
+            if beta_guard_deg > 0.0:
+                # soft sideslip margin INSIDE the hard AL |β| row: fitted
+                # surrogates can have asymmetric yaw aero that rides 6-9°
+                # of β in coordinated-looking flight, and in turns the AL's
+                # 10° row is then fought afresh every window (measured:
+                # β rows are the steady-state violation floor of the
+                # serving chain, ~0.005-0.01 rad at the 4x20 budget).  The
+                # cost-level guard holds the margin; the AL certifies.
+                b_lim = jnp.deg2rad(beta_guard_deg)
+                parts.append(
+                    jnp.sqrt(20.0)
+                    * jnp.maximum(jnp.abs(aero.beta) - b_lim, 0.0)[..., None]
+                )
         return jnp.concatenate(parts, axis=-1)
 
     def stage_rest(z, u, k):
@@ -243,6 +258,7 @@ class MHTT:
         w_speed: Optional[float] = None,
         w_rate: float = 0.0,
         alpha_guard_deg: float = 0.0,
+        beta_guard_deg: float = 0.0,
         envelope_overrides: Optional[dict] = None,
         progress_correction: float = 0.05,
         stall_guard: tuple[float, float] = (2.0, 10.0),
@@ -279,6 +295,7 @@ class MHTT:
             substeps=substeps, track_dims=track_dims,
             v_ref=v_ref, w_speed=w_speed,
             w_rate=w_rate, alpha_guard_deg=alpha_guard_deg,
+            beta_guard_deg=beta_guard_deg,
             envelope_overrides=envelope_overrides,
             progress_correction=progress_correction,
             stall_guard=stall_guard,

@@ -1078,7 +1078,20 @@ def main():
 
     chained = os.environ.get("BENCH_CHAIN", "1") != "0"
 
-    def chain_step(z0s, us, al):
+    # bounded per-scenario recovery (the MHTT.run retry policy, batched):
+    # a window whose violation exceeds RESET_VIOL gets its WARM START reset
+    # to clean trim controls + cold duals for the next window — the carry
+    # is the usual culprit on marginal stations (SURVEY §5.3).  The plant
+    # state is never touched: a genuinely departed scenario keeps showing
+    # its violations honestly.
+    # threshold at true-divergence scale: the throughput mode's TYPICAL
+    # steady violation is ~1 (squared-speed units), and resetting those
+    # scenarios just churns (cold duals -> worse window -> reset again:
+    # measured diverged_fraction 0 -> 0.46 with the threshold at 1.0);
+    # genuine departures show violations of 100+
+    RESET_VIOL = float(os.environ.get("BENCH_RESET_VIOL", "10.0"))
+
+    def chain_step(z0s, us, al, us_reset, al_reset):
         sols = ilqr.solve_batch(ocp, z0s, us, solver_cfg, al_inits=al)
         z_next = sols.xs[:, COMMIT]
         us_next = jnp.concatenate(
@@ -1087,6 +1100,12 @@ def main():
         al_next = jax.vmap(
             lambda a: ocp_mod.shift_al_state(
                 a, COMMIT, mu0=solver_cfg.penalty_init))(sols.al)
+        bad = sols.violation > RESET_VIOL
+        us_next = jnp.where(bad[:, None, None], us_reset, us_next)
+        al_next = jax.tree.map(
+            lambda car, cold: jnp.where(
+                bad.reshape((-1,) + (1,) * (car.ndim - 1)), cold, car),
+            al_next, al_reset)
         return z_next, us_next, al_next, sols.cost, sols.violation
 
     chain = jax.jit(chain_step)
@@ -1098,7 +1117,7 @@ def main():
     with jax.default_matmul_precision(precision):
         # compile + first (cold) execution
         t0 = time.time()
-        z, us, al, cost_cold, viol_cold = chain(x0s, us0, al0)
+        z, us, al, cost_cold, viol_cold = chain(x0s, us0, al0, us0, al0)
         viol_cold.block_until_ready()
         compile_wall = time.time() - t0
         cold_viol = float(np.nanmean(np.asarray(viol_cold)))
@@ -1109,13 +1128,13 @@ def main():
 
         # warm-up windows: let the (primal, dual) carry reach steady state
         for _ in range(int(os.environ.get("BENCH_WARMUP", "6")) if chained else 0):
-            z, us, al, cost, viol = chain(z, us, al)
+            z, us, al, cost, viol = chain(z, us, al, us0, al0)
         # timed chained windows — each one a full batched replan
         walls = []
         for _ in range(REPS):
             zin, usin, alin = (z, us, al) if chained else (x0s, us0, al0)
             t0 = time.time()
-            z2, us2, al2, cost, viol = chain(zin, usin, alin)
+            z2, us2, al2, cost, viol = chain(zin, usin, alin, us0, al0)
             viol.block_until_ready()
             walls.append(time.time() - t0)
             if chained:
@@ -1131,6 +1150,11 @@ def main():
     # >=95% of windows at <=1e-2) + the tail percentile
     converged_fraction = float(np.mean(viol_np <= 1e-2))
     p90_violation = float(np.nanpercentile(viol_np, 90))
+    median_violation = float(np.nanpercentile(viol_np, 50))
+    # scenarios whose plant has genuinely departed (the fleet supervisor
+    # would abort these, MHTT.run abort policy) — reported, never masked;
+    # cutoff = the recovery threshold so the two mechanisms agree
+    diverged_fraction = float(np.mean(viol_np > RESET_VIOL))
     mean_cost = float(np.nanmean(cost_np))
 
     print(
@@ -1152,6 +1176,8 @@ def main():
                 "cold_window_mean_violation": round(cold_viol, 4),
                 "converged_fraction_1e2": round(converged_fraction, 4),
                 "p90_violation": round(p90_violation, 6),
+                "median_violation": round(median_violation, 6),
+                "diverged_fraction": round(diverged_fraction, 4),
                 "mean_cost": round(mean_cost, 2),
                 "device": str(jax.devices()[0]),
             }
