@@ -198,6 +198,15 @@ def solve_full_course(
             max_al_iters=4,
             max_inner_iters=30 if jax.default_backend() == "tpu" else 20,
             hessian="gauss_newton"),
+        # NO dual carry on the course flight: the 400-window there-and-back
+        # is transient-dominated (50 -> 20 m/s energy bleed, per-segment
+        # regime changes), and carried multipliers accumulate on rows the
+        # transient keeps active until they dominate the cost — measured on
+        # v5e at HEAD: overspeed to 59 m/s, second turnaround lost, flight
+        # frozen at s=0.18 (uncapped) / wp2 missed by 155 m (capped 1e3).
+        # The dual carry's win is STEADY-STATE serving (bench fleet chain);
+        # round-1's carry-free course recipe passes all four waypoints.
+        dual_carry=False,
     )
 
     x0 = jnp.asarray(config.waypoints.initial_state, dtype=jnp.float32)

@@ -110,7 +110,8 @@ def init_al_state(ocp: OCPFunctions, x0: jax.Array, u0: jax.Array, N: int,
     )
 
 
-def shift_al_state(al: ALState, commit: int, mu0: float = 10.0) -> ALState:
+def shift_al_state(al: ALState, commit: int, mu0: float = 10.0,
+                   lam_max: float = 1e3) -> ALState:
     """Receding-horizon dual warm start: shift the stage multipliers by the
     committed prefix (hold the tail), keep the terminal multipliers, and
     restart the penalty at ``mu0``.  The IPOPT warm-start analogue
@@ -120,8 +121,19 @@ def shift_al_state(al: ALState, commit: int, mu0: float = 10.0) -> ALState:
     zero.  Measured (tests/test_control.py::TestDualWarmStart, 12-window
     N=25 chain, 2 AL x 10 inner iterations): steady-state mean violation
     0.080 -> 0.044, a ~1.8x cut at zero extra iterations; consumed by
-    MHTT serving (control/mhtt.py) and the bench.py window chain."""
+    MHTT serving (control/mhtt.py) and the bench.py window chain.
+
+    ``lam_max`` caps the carried multipliers (IPOPT's warm-start bound
+    pushes play the same safeguarding role): a row that stays active with
+    residual violation grows its λ by μ·g EVERY window with no decay, and
+    over a long flight the unbounded dual dominates the true cost —
+    measured on the 400-window TPU course: the airspeed-floor dual
+    accumulated through the energy-bleed transient until window solutions
+    dived for speed (59 m/s), missed the turnaround, and froze the flight
+    at s=0.18.  λ* is finite (order of the cost gradient, ~10–100 here);
+    1e3 caps runaway without touching healthy duals."""
     def _shift(lam):
+        lam = jnp.clip(lam, -lam_max, lam_max)
         return jnp.concatenate(
             [lam[commit:], jnp.tile(lam[-1:], (commit, 1))], axis=0)
 
