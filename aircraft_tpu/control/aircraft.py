@@ -45,6 +45,8 @@ def envelope_ineq(
     speed_bounds: Optional[tuple[float, float]] = None,
     alpha_limit_deg: Optional[float] = None,
     beta_limit_deg: Optional[float] = None,
+    unit_scales: bool = False,
+    include_control_box: bool = True,
 ) -> Callable:
     """Stage inequality g(x,u,k) <= 0 bundling the flight envelope.
 
@@ -70,18 +72,34 @@ def envelope_ineq(
     alpha_lim = float(np.deg2rad(alpha_limit_deg))
     beta_lim = float(np.deg2rad(beta_limit_deg))
     lo2, hi2 = speed_bounds[0] ** 2, speed_bounds[1] ** 2
+    # unit-consistent row scaling (IPOPT's gradient-based constraint
+    # scaling analogue, nlp_scaling_method): the squared-speed rows carry
+    # a natural scale of 2·v per m/s of deficit (~40–200× the other rows),
+    # so under a UNIFORM AL penalty they are priced 40–200× stiffer per
+    # physical unit than the angle/altitude/control rows.  Dividing by the
+    # boundary gradient puts every row in comparable physical units
+    # (speed rows → m/s of deficit; angles rad; altitude m; controls in
+    # their normalized span), which (a) conditions the AL uniformly and
+    # (b) makes `max_violation` read as a physically-meaningful tolerance
+    # (1e-2 ≈ 1 cm/s of speed, 0.57°, 1 cm).  Opt-in: the course recipe's
+    # hardware-validated thresholds were tuned against raw rows.
+    lo_scale = 1.0 / (2.0 * speed_bounds[0]) if unit_scales else 1.0
+    hi_scale = 1.0 / (2.0 * speed_bounds[1]) if unit_scales else 1.0
 
     def ineq(x, u, k):
         aero = ac.aero_state(params, x, u)
         v2 = 2.0 * aero.qbar / 1.225
+        # box rows omitted when the controller enforces the control box
+        # EXACTLY by construction (ocp.squash_controls): keeping them as AL
+        # rows is then dead weight — they can never activate
+        box = ([u - ub, lb - u] if include_control_box else [])
         return jnp.concatenate(
-            [
-                u - ub,
-                lb - u,
+            box
+            + [
                 jnp.stack(
                     [
-                        lo2 - v2,
-                        v2 - hi2,
+                        (lo2 - v2) * lo_scale,
+                        (v2 - hi2) * hi_scale,
                         aero.beta - beta_lim,
                         -beta_lim - aero.beta,
                         aero.alpha - alpha_lim,

@@ -75,6 +75,8 @@ def build_mhtt_ocp(
     beta_guard_deg: float = 0.0,
     envelope_overrides: Optional[dict] = None,
     stall_guard: tuple[float, float] = (2.0, 10.0),
+    squash_box: bool = False,
+    tail_damp: Optional[tuple[int, float]] = None,
 ) -> OCPFunctions:
     """OCP over the augmented state z = [x(13), s] (+ wind(3) when
     `wind_channels` — the MHE estimate rides constant state channels, so
@@ -104,8 +106,13 @@ def build_mhtt_ocp(
             return _ac.state_derivative(params, x, u, wind=w)
     step13 = integrators.make_step_fn(params, substeps=substeps, normalize="step")
     L = float(track_length)
+    env_overrides = dict(envelope_overrides or {})
+    if squash_box:
+        # box enforced exactly by the tanh reparameterization below —
+        # keeping the 14 box rows under the AL is then dead weight
+        env_overrides["include_control_box"] = False
     env = envelope_ineq(params, config.state, config.control,
-                        **(envelope_overrides or {}))
+                        **env_overrides)
 
     def progress_rate(z):
         x, s = z[..., :13], z[..., 13]
@@ -211,7 +218,16 @@ def build_mhtt_ocp(
         # early (weak-penalty) AL iterations exploit physically absurd
         # speeds before the envelope constraints bite
         rate_reward = 0.5 * jnp.tanh(s_dot / 0.5)
-        return -W_PROGRESS * s - W_PROGRESS_RATE * rate_reward
+        rest = -W_PROGRESS * s - W_PROGRESS_RATE * rate_reward
+        if tail_damp is not None:
+            # damp the progress greed past the commit knot: the horizon
+            # tail is weakly tracked (position error accumulates slowly),
+            # so undamped progress reward farms s_dot there by skidding the
+            # velocity vector toward the tangent — measured as the β/α-row
+            # violation floor concentrated in knots ≥ commit while the
+            # committed prefix solves clean
+            rest = rest * jnp.where(k >= tail_damp[0], tail_damp[1], 1.0)
+        return rest
 
     def stage_cost(z, u, k):
         r = stage_residuals(z, u, k)
@@ -233,10 +249,16 @@ def build_mhtt_ocp(
     def ineq(z, u, k):
         return env(z[:13], u, k)
 
-    return OCPFunctions(
+    built = OCPFunctions(
         step=step, stage_cost=stage_cost, terminal_cost=terminal_cost, ineq=ineq,
         stage_residuals=stage_residuals, stage_rest=stage_rest,
     )
+    if squash_box:
+        from aircraft_tpu.solvers.ocp import squash_controls
+
+        lb, ub = config.control.bounds(7)
+        built, _, _ = squash_controls(built, lb, ub)
+    return built
 
 
 class MHTT:

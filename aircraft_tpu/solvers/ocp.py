@@ -71,6 +71,67 @@ class OCPFunctions:
     # under the AL, which prices them to ~1e-2 within a 4-round schedule.
 
 
+def make_squash_maps(lb, ub, *, margin: float = 0.999):
+    """(squash, unsquash) pair for a control box — see `squash_controls`."""
+    lb = jnp.asarray(lb, jnp.float32)
+    ub = jnp.asarray(ub, jnp.float32)
+    mid = 0.5 * (lb + ub)
+    half = 0.5 * (ub - lb)
+    safe_half = jnp.where(half > 0, half, 1.0)
+
+    def squash(w):
+        return mid + half * jnp.tanh(w)
+
+    def unsquash(u):
+        t = jnp.clip((u - mid) / safe_half, -margin, margin)
+        return jnp.arctanh(t) * jnp.where(half > 0, 1.0, 0.0)
+
+    return squash, unsquash
+
+
+def squash_controls(ocp: OCPFunctions, lb, ub, *, margin: float = 0.999):
+    """Reparameterize the controls through a tanh squash so the control box
+    is satisfied EXACTLY by construction (control-limited iLQR via smooth
+    saturation).  The solver optimizes the unconstrained pre-image w; the
+    plant, costs and constraints all see u = mid + half·tanh(w).
+
+    Why: under the AL the box rows are the measured steady-state violation
+    floor of the receding-horizon serving chain (flaps/rudder/elevator rows
+    0.4–2.0 normalized units over at the 2×6 budget, still 0.3–0.6 at
+    4×20 — the tracking cost keeps paying the penalty for authority the box
+    forbids, and the capped dual carry never prices it out).  Squashing
+    removes those 14 rows outright.  Compared with the REJECTED projected
+    line search (see NOTE above), the Riccati step keeps a live, consistent
+    derivative through saturating channels — predicted decrease stays
+    exact, it just flattens as a channel saturates.  (The reference hands
+    its box to IPOPT's native bound handling, reference
+    control/aircraft.py:29-41; this is the iLQR-native equivalent.)
+
+    Degenerate channels (lb == ub) pin to the midpoint with zero gradient —
+    the correct frozen-channel behavior.
+
+    Returns (squashed_ocp, squash, unsquash).  `unsquash` maps a physical
+    warm start into w-space, clipping to `margin` of the half-span so
+    atanh stays finite at the bounds.
+    """
+    squash, unsquash = make_squash_maps(lb, ub, margin=margin)
+
+    def wrap(f):
+        if f is None:
+            return None
+        return lambda x, w, k: f(x, squash(w), k)
+
+    squashed = ocp.replace(
+        step=wrap(ocp.step),
+        stage_cost=wrap(ocp.stage_cost),
+        ineq=wrap(ocp.ineq),
+        eq=wrap(ocp.eq),
+        stage_residuals=wrap(ocp.stage_residuals),
+        stage_rest=wrap(ocp.stage_rest),
+    )
+    return squashed, squash, unsquash
+
+
 @struct.dataclass
 class ALState:
     """Augmented-Lagrangian multipliers/penalty for one trajectory."""
