@@ -222,12 +222,30 @@ def run_time_mode_case(
         for w in np.asarray(small.waypoints.array())
     ]
     tol = float(small.waypoints.tolerance)
+    passed = bool(max(misses) < tol)
+    # flight time from the solution's OWN timestep schedule: free-time
+    # modes carry per-knot ν in the last control column ('progress':
+    # dt = 1/ν², others: dt = ν² — control/waypoints.py build_waypoint_ocp)
+    if time_mode == "fixed":
+        flight_time = num_nodes * dt
+    else:
+        nu = np.asarray(sol.us)[:, -1]
+        dts = (1.0 / (nu**2 + 1e-9)) if time_mode == "progress" else nu**2
+        flight_time = float(dts.sum())
     m.update(
         time=time_mode, num_nodes=num_nodes,
         waypoint_misses=[round(x, 2) for x in misses],
-        passed=bool(max(misses) < tol),
+        passed=passed,
+        flight_time_s=round(flight_time, 3),
+        nominal_time_s=round(num_nodes * dt, 3),
+        time_saved_s=round(num_nodes * dt - flight_time, 3),
         wall_s=round(wall, 2),
     )
+    # the meaningful success criterion for the waypoint formulation is
+    # PASSAGE (see comment above) — the raw-residual `converged` flag from
+    # solver_metrics reads complementarity rows in squared-distance scale
+    # and was 0.0 on rows that threaded every waypoint (round-3 verdict)
+    m["success_rate"] = float(passed)
     return m
 
 

@@ -113,20 +113,26 @@ def envelope_ineq(
     return ineq
 
 
-def envelope_registry(n_controls: int = 7):
+def envelope_registry(n_controls: int = 7, *, include_control_box: bool = True):
     """ConstraintRegistry describing `envelope_ineq`'s row layout — maps a
     violation row index back to its meaning (the reference auto-described
     each Opti row, reference control/base.py:228-265; its per-solve log
-    printed active constraints BY NAME with duals, control/aircraft.py:120-135)."""
+    printed active constraints BY NAME with duals, control/aircraft.py:120-135).
+
+    ``include_control_box`` must mirror the `envelope_ineq` that built the
+    OCP: with the tanh squash (`include_control_box=False`) the 14 box rows
+    are absent, and a registry that still listed them would mislabel every
+    envelope row (airspeed_floor read as aileron_upper, …)."""
     from aircraft_tpu.observability import ConstraintRegistry
 
     names = ["aileron", "elevator", "rudder", "thrust_x", "thrust_y",
              "thrust_z", "flaps"][:n_controls]
     reg = ConstraintRegistry()
-    for n in names:
-        reg.register(f"{n}_upper", 1)
-    for n in names:
-        reg.register(f"{n}_lower", 1)
+    if include_control_box:
+        for n in names:
+            reg.register(f"{n}_upper", 1)
+        for n in names:
+            reg.register(f"{n}_lower", 1)
     reg.register("airspeed_floor", 1)   # lo² − v²  [m²/s²]
     reg.register("airspeed_ceiling", 1)  # v² − hi²  [m²/s²]
     reg.register("beta_upper", 1)        # [rad]

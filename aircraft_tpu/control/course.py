@@ -145,6 +145,7 @@ def solve_full_course(
     track_extend: float = 150.0,
     abort_patience: int = 3,
     n_candidates: Optional[int] = None,
+    dual_carry: bool = False,
 ) -> dict:
     """Fly the configured waypoint course closed-loop; returns the flown
     trajectory, per-waypoint misses, and success over the declared
@@ -198,15 +199,19 @@ def solve_full_course(
             max_al_iters=4,
             max_inner_iters=30 if jax.default_backend() == "tpu" else 20,
             hessian="gauss_newton"),
-        # NO dual carry on the course flight: the 400-window there-and-back
-        # is transient-dominated (50 -> 20 m/s energy bleed, per-segment
-        # regime changes), and carried multipliers accumulate on rows the
-        # transient keeps active until they dominate the cost — measured on
-        # v5e at HEAD: overspeed to 59 m/s, second turnaround lost, flight
-        # frozen at s=0.18 (uncapped) / wp2 missed by 155 m (capped 1e3).
-        # The dual carry's win is STEADY-STATE serving (bench fleet chain);
-        # round-1's carry-free course recipe passes all four waypoints.
-        dual_carry=False,
+        # Dual carry on the course flight defaults OFF: the 400-window
+        # there-and-back is transient-dominated (50 -> 20 m/s energy bleed,
+        # per-segment regime changes), and VERBATIM-carried multipliers
+        # accumulate on rows the transient keeps active until they dominate
+        # the cost — measured on v5e at HEAD: overspeed to 59 m/s, second
+        # turnaround lost, flight frozen at s=0.18 (uncapped) / wp2 missed
+        # by 155 m (capped 1e3).  The violation-gated carry
+        # (MHTT.carry_gate, round-4: infeasible windows hand cold duals
+        # forward) removes that failure mode by construction
+        # (tests/test_ilqr.py::TestDualCarryGate); pass dual_carry=True to
+        # fly with it — kept opt-in here until a full-course hardware run
+        # revalidates the 4/4-waypoint result with the carry on.
+        dual_carry=dual_carry,
     )
 
     x0 = jnp.asarray(config.waypoints.initial_state, dtype=jnp.float32)

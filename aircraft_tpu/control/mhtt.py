@@ -285,6 +285,7 @@ class MHTT:
         progress_correction: float = 0.05,
         stall_guard: tuple[float, float] = (2.0, 10.0),
         dual_carry: bool = True,
+        carry_gate: float = 10.0,
     ):
         if v_ref is None:
             v_ref = float(config.waypoints.default_velocity)
@@ -323,6 +324,13 @@ class MHTT:
             stall_guard=stall_guard,
         )
         self.dual_carry = dual_carry
+        # the transient gate on the dual carry (ocp.shift_al_state decay):
+        # a window whose violation exceeds `carry_gate` hands COLD duals to
+        # the next window — its multiplier estimates were integrating an
+        # infeasibility transient, not approximating λ* (the frozen-course
+        # failure mode, round-3 verdict #6).  Raw-row units: steady windows
+        # sit at ~0.01–1, genuine transients at 38–56 on the course entry.
+        self.carry_gate = carry_gate
         self._solve = jax.jit(
             lambda z0, us: ilqr.solve(self.ocp, z0, us, self.solver_config)
         )
@@ -330,9 +338,15 @@ class MHTT:
             lambda z0s, uss, als=None: ilqr.solve_batch(
                 self.ocp, z0s, uss, self.solver_config, al_inits=als)
         )
+
+        def _gated_decay(violation):
+            return (violation <= self.carry_gate).astype(jnp.float32)
+
+        self._gated_decay = _gated_decay
         self._shift_al_batch = jax.jit(jax.vmap(
-            lambda a: ocp_mod.shift_al_state(
-                a, self.commit, mu0=self.solver_config.penalty_init)))
+            lambda a, viol: ocp_mod.shift_al_state(
+                a, self.commit, mu0=self.solver_config.penalty_init,
+                decay=_gated_decay(viol))))
         # cold-start multiplier template: zero duals at the initial penalty
         # (what every solve starts from without a carry)
         self._al0 = ocp_mod.init_al_state(
@@ -354,9 +368,11 @@ class MHTT:
                 [sol.us[c:], jnp.tile(sol.us[-1:], (c, 1))], axis=0)
             # receding-horizon DUAL warm start (the IPOPT warm-start pushes,
             # reference config.py:46-49): shift the stage multipliers by the
-            # committed prefix, restart the penalty
+            # committed prefix, restart the penalty; infeasible windows hand
+            # cold duals forward (carry_gate — see __init__)
             al_next = ocp_mod.shift_al_state(
-                sol.al, c, mu0=self.solver_config.penalty_init)
+                sol.al, c, mu0=self.solver_config.penalty_init,
+                decay=_gated_decay(sol.violation))
             finite = jnp.all(jnp.isfinite(sol.xs)).astype(jnp.float32)
             blob = jnp.concatenate([
                 sol.xs[1 : c + 1, :14].reshape(-1),
@@ -417,7 +433,8 @@ class MHTT:
                 [us[c:], jnp.tile(us[-1:], (c, 1))], axis=0)
             al_next = ocp_mod.shift_al_state(
                 jax.tree.map(lambda t: t[b], sols.al), c,
-                mu0=self.solver_config.penalty_init)
+                mu0=self.solver_config.penalty_init,
+                decay=_gated_decay(sols.violation[b]))
             blob = jnp.concatenate([
                 xs[1 : c + 1, :14].reshape(-1),
                 us[:c].reshape(-1),
@@ -493,7 +510,7 @@ class MHTT:
                 [sols.us[:, c:], jnp.tile(sols.us[:, -1:], (1, c, 1))], axis=1
             )
             if self.dual_carry:
-                al = self._shift_al_batch(sols.al)
+                al = self._shift_al_batch(sols.al, sols.violation)
             windows += 1
             progress_hist.append(np.asarray(s))
 
@@ -538,8 +555,9 @@ class MHTT:
                 [sols.us[:, c:], jnp.tile(sols.us[:, -1:], (1, c, 1))],
                 axis=1,
             )
-            al_next = (jax.vmap(lambda a: ocp_mod.shift_al_state(
-                a, c, mu0=self.solver_config.penalty_init))(sols.al)
+            al_next = (jax.vmap(lambda a, viol: ocp_mod.shift_al_state(
+                a, c, mu0=self.solver_config.penalty_init,
+                decay=self._gated_decay(viol)))(sols.al, sols.violation)
                 if self.dual_carry else None)
             return (x_next, s_next, us_next, al_next), s_next
 

@@ -388,6 +388,42 @@ def solve_waypoint_racing(
     return ilqr.solve(ocp, z0, vs, cfg)
 
 
+def _uniform_candidate_sweep(
+    params: AircraftParams,
+    config: TrajectoryConfig,
+    us_nominal: jax.Array,
+    dts,
+    *,
+    num_nodes: int,
+    substeps: int,
+    solver_config: SolverConfig,
+) -> ilqr.ILQRSolution:
+    """Solve the FIXED-time racing problem at each uniform dt in ``dts``,
+    every candidate warm-started from the nominal solution's controls with
+    the μ passage impulses re-placed on the candidate-rate rollout (shared
+    machinery of `solve_time_optimal` and the staged free-time refinement).
+    Returns stacked solutions with a leading candidate axis."""
+    from aircraft_tpu.solvers.rollout import rollout as _rollout
+
+    z0, vs0 = initial_guess(config, num_nodes, time_mode="fixed", dt=float(dts[0]))
+    step13 = integrators.make_step_fn(params, substeps=substeps, normalize="step")
+    wps_j = jnp.asarray(config.waypoints.array(), jnp.float32)
+    wp_idx = jnp.asarray(config.waypoints.waypoint_indices, dtype=jnp.int32)
+    n_wp = wps_j.shape[0]
+
+    def solve_at(dt_i):
+        xs_track = _rollout(step13, z0[:13], us_nominal[:, :7], dt_i)
+        vs_i = vs0.at[:, :7].set(us_nominal[:, :7])
+        vs_i = _place_mu_impulses(vs_i, xs_track, wps_j, wp_idx, n_wp)
+        ocp_i = build_waypoint_ocp(
+            params, config, dt=dt_i, num_nodes=num_nodes,
+            substeps=substeps, time_mode="fixed",
+        )
+        return ilqr.solve_impl(ocp_i, z0, vs_i, solver_config)
+
+    return jax.jit(jax.vmap(solve_at))(jnp.asarray(dts, jnp.float32))
+
+
 def _refine_free_time(
     params: AircraftParams,
     config: TrajectoryConfig,
@@ -400,50 +436,90 @@ def _refine_free_time(
     dt_bounds: tuple[float, float],
     solver_config: Optional[SolverConfig],
 ) -> ilqr.ILQRSolution:
-    """Stage B of the free-time solve: free the per-knot timestep around a
-    SOLVED fixed-time incumbent inside a trust-region box, and accept the
-    refinement only if it does not lose feasibility (and then only if it is
-    faster) — see solve_waypoint_racing docstring."""
+    """Stage B of the free-time solve, in two sub-stages:
+
+    B0 — uniform time-scale contraction: re-solve the fixed-time problem at
+    a ladder of sub-nominal uniform dts (vmapped, warm-started from the
+    incumbent with re-placed μ impulses) and take the fastest feasible
+    schedule.  Measured round 3: per-knot refinement straight from the
+    incumbent NEVER moved the timesteps (all four ablation time rows
+    returned the fixed-time objective bit-identically), so the uniform
+    contraction is what actually buys time — the reference's variable-time
+    solve bought its time the same way, by shrinking the whole schedule
+    (reference control/variable_time.py:29).
+
+    B1 — per-knot trust-region refinement around the B0 winner in the
+    mode's own formulation ('progress': dt = 1/ν², 'variable'/'adaptive':
+    dt = ν², reference control/base.py:361-379).
+
+    The returned point is the best of {incumbent, B0 winner, B1 refined}
+    by feasibility-then-total-time — the outer acceptance rule."""
     n_wp = len(config.waypoints.waypoints)
-    # trust region: the time warp may not leave the incumbent's basin
-    tr = (max(dt_bounds[0], 0.5 * dt), min(dt_bounds[1], 2.0 * dt))
+    cfg = solver_config or SolverConfig(max_al_iters=8, max_inner_iters=25)
+    tol = float(config.waypoints.tolerance)
+    wps = np.asarray(config.waypoints.array())
+
+    def miss_of(xs):
+        xs = np.asarray(xs)
+        return max(float(np.linalg.norm(xs[:, :3] - w, axis=1).min())
+                   for w in wps)
+
+    # ---- B0: uniform contraction ladder (sub-nominal only + the nominal)
+    scales = np.asarray([0.70, 0.78, 0.86, 0.93, 1.0], np.float32)
+    dts_u = np.maximum(scales * dt, dt_bounds[0])
+    sweep = _uniform_candidate_sweep(
+        params, config, jnp.asarray(sol_fixed.us), dts_u,
+        num_nodes=num_nodes, substeps=substeps, solver_config=cfg)
+    sweep_np = jax.tree.map(np.asarray, sweep)
+    miss_u = np.asarray([miss_of(sweep_np.xs[i]) for i in range(len(dts_u))])
+    fin_u = np.isfinite(sweep_np.xs).all(axis=(1, 2))
+    feas_u = (miss_u <= tol) & fin_u
+    best_u = None
+    for i in np.argsort(dts_u):
+        if feas_u[i]:
+            best_u = int(i)
+            break
+
+    if best_u is not None and dts_u[best_u] < dt:
+        dt_b = float(dts_u[best_u])
+        us_b = jnp.asarray(sweep_np.us[best_u])
+        xs_b = jnp.asarray(sweep_np.xs[best_u])
+        sol_b = jax.tree.map(lambda t: jnp.asarray(t[best_u]), sweep_np)
+    else:
+        dt_b, us_b, xs_b, sol_b = dt, jnp.asarray(sol_fixed.us), \
+            jnp.asarray(sol_fixed.xs), sol_fixed
+
+    # ---- B1: per-knot refinement in the mode's own formulation
+    tr = (max(dt_bounds[0], 0.5 * dt_b), min(dt_bounds[1], 2.0 * dt_b))
     ocp = build_waypoint_ocp(
-        params, config, dt=dt, num_nodes=num_nodes, substeps=substeps,
+        params, config, dt=dt_b, num_nodes=num_nodes, substeps=substeps,
         time_mode=time_mode, dt_bounds=tr,
     )
-    z0, _ = initial_guess(config, num_nodes, time_mode=time_mode, dt=dt)
-    nu0 = (1.0 / np.sqrt(dt)) if time_mode == "progress" else np.sqrt(dt)
+    z0, _ = initial_guess(config, num_nodes, time_mode=time_mode, dt=dt_b)
+    nu0 = (1.0 / np.sqrt(dt_b)) if time_mode == "progress" else np.sqrt(dt_b)
     vs = jnp.concatenate(
-        [jnp.asarray(sol_fixed.us),
-         jnp.full((num_nodes, 1), nu0, dtype=jnp.float32)], axis=1)
-    cfg = solver_config or SolverConfig(max_al_iters=8, max_inner_iters=25)
+        [us_b, jnp.full((num_nodes, 1), nu0, dtype=jnp.float32)], axis=1)
     sol = ilqr.solve(ocp, z0, vs, cfg)
 
-    def metrics(xs, vss):
-        xs = np.asarray(xs)
-        wps = np.asarray(config.waypoints.array())
-        miss = max(
-            float(np.linalg.norm(xs[:, :3] - w, axis=1).min()) for w in wps
-        )
+    def timed_metrics(xs, vss):
         nu = np.asarray(vss)[:, -1]
         dts = (1.0 / (nu**2 + 1e-9)) if time_mode == "progress" else nu**2
-        return miss, float(dts.sum()), np.isfinite(xs).all()
+        return miss_of(xs), float(dts.sum()), bool(np.isfinite(np.asarray(xs)).all())
 
-    miss_r, T_r, fin_r = metrics(sol.xs, sol.us)
-    miss_i, T_i, fin_i = metrics(sol_fixed.xs, vs)
-    tol = float(config.waypoints.tolerance)
+    miss_r, T_r, fin_r = timed_metrics(sol.xs, sol.us)
+    miss_i, T_i, fin_i = miss_of(xs_b), dt_b * num_nodes, True
     accept = fin_r and (
         (miss_r <= tol and (miss_i > tol or T_r <= T_i))
         or (miss_i > tol and miss_r <= miss_i)
     )
     if accept:
         return sol
-    # outer rejection: lift the incumbent into the free-time variable space
-    viol = ocp_mod.max_violation(ocp, jnp.asarray(sol_fixed.xs), vs)
+    # outer rejection: lift the B0 winner into the free-time variable space
+    viol = ocp_mod.max_violation(ocp, xs_b, vs)
     return ilqr.ILQRSolution(
-        xs=sol_fixed.xs, us=vs, cost=sol_fixed.cost, violation=viol,
-        converged=sol_fixed.converged, iterations=sol_fixed.iterations,
-        grad_norm=sol_fixed.grad_norm, al=None,
+        xs=xs_b, us=vs, cost=sol_b.cost, violation=viol,
+        converged=sol_b.converged, iterations=sol_b.iterations,
+        grad_norm=sol_b.grad_norm, al=None,
     )
 
 
@@ -525,19 +601,9 @@ def solve_time_optimal(
             params, config, num_nodes=num_nodes, dt=dt_nominal,
             substeps=substeps, time_mode="fixed", solver_config=cfg_s,
         )
-        us_nom = jnp.asarray(nominal.us)
-
-        def solve_at(dt_i):
-            xs_track = _rollout(step13, z0[:13], us_nom[:, :7], dt_i)
-            vs_i = vs0.at[:, :7].set(us_nom[:, :7])
-            vs_i = _place_mu_impulses(vs_i, xs_track, wps_j, wp_idx, n_wp)
-            ocp_i = build_waypoint_ocp(
-                params, config, dt=dt_i, num_nodes=num_nodes,
-                substeps=substeps, time_mode="fixed",
-            )
-            return ilqr.solve_impl(ocp_i, z0, vs_i, cfg_s)
-
-        sols = jax.jit(jax.vmap(solve_at))(jnp.asarray(dts))
+        sols = _uniform_candidate_sweep(
+            params, config, jnp.asarray(nominal.us), dts,
+            num_nodes=num_nodes, substeps=substeps, solver_config=cfg_s)
         # append the nominal solve as its own candidate row
         sols = jax.tree.map(
             lambda c, n: jnp.concatenate([c, n[None]], axis=0)

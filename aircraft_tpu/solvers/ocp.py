@@ -62,6 +62,14 @@ class OCPFunctions:
     # quality, never correctness of the accepted cost.
     stage_residuals: Callable = struct.field(pytree_node=False, default=None)
     stage_rest: Callable = struct.field(pytree_node=False, default=None)
+    # set by `squash_controls`: the (squash, unsquash) pair of the tanh
+    # control-box reparameterization.  Carried ON the bundle so warm-start
+    # producers use the same transform instance as the solve — independently
+    # reconstructing the maps from config bounds is a silent-desync risk if
+    # the bounds source or margin ever diverges (round-3 advisor).  None on
+    # problems whose control space is physical.
+    control_squash: Callable = struct.field(pytree_node=False, default=None)
+    control_unsquash: Callable = struct.field(pytree_node=False, default=None)
     # NOTE on control boxes: a projected (clamped) line search was tried
     # for exact box feasibility (control-limited iLQR without the boxQP
     # backward pass) and REJECTED on measurement: clamping alone starves
@@ -128,6 +136,10 @@ def squash_controls(ocp: OCPFunctions, lb, ub, *, margin: float = 0.999):
         eq=wrap(ocp.eq),
         stage_residuals=wrap(ocp.stage_residuals),
         stage_rest=wrap(ocp.stage_rest),
+        # carried on the bundle so warm-start producers use THIS transform
+        # instance (see OCPFunctions.control_squash)
+        control_squash=squash,
+        control_unsquash=unsquash,
     )
     return squashed, squash, unsquash
 
@@ -172,7 +184,7 @@ def init_al_state(ocp: OCPFunctions, x0: jax.Array, u0: jax.Array, N: int,
 
 
 def shift_al_state(al: ALState, commit: int, mu0: float = 10.0,
-                   lam_max: float = 1e3) -> ALState:
+                   lam_max: float = 1e3, decay=1.0) -> ALState:
     """Receding-horizon dual warm start: shift the stage multipliers by the
     committed prefix (hold the tail), keep the terminal multipliers, and
     restart the penalty at ``mu0``.  The IPOPT warm-start analogue
@@ -192,17 +204,31 @@ def shift_al_state(al: ALState, commit: int, mu0: float = 10.0,
     accumulated through the energy-bleed transient until window solutions
     dived for speed (59 m/s), missed the turnaround, and froze the flight
     at s=0.18.  λ* is finite (order of the cost gradient, ~10–100 here);
-    1e3 caps runaway without touching healthy duals."""
+    1e3 caps runaway without touching healthy duals.
+
+    ``decay`` (scalar or traced, default 1.0 = carry verbatim) scales the
+    carried multipliers — the TRANSIENT gate.  The cap alone is not enough:
+    during a long transiently-infeasible stretch an active row's λ grows by
+    μ·g every window toward the cap, and the accumulated dual then demands
+    a constraint margin of λ/μ ≫ 0 once feasibility returns (the frozen-
+    course failure mode above).  Callers gate on the WINDOW'S OWN
+    feasibility: carry duals from windows that solved clean (the
+    steady-state 1.8× win), restart them cold after an infeasible window —
+    where the dual estimate integrates an infeasibility transient instead
+    of approximating λ* — the cross-window analogue of the within-solve
+    rule 'update multipliers only when the violation decreased, otherwise
+    raise the penalty' (Conn–Gould–Toint).  See MHTT ``carry_gate`` and
+    tests/test_ilqr.py::TestDualCarryGate."""
     def _shift(lam):
-        lam = jnp.clip(lam, -lam_max, lam_max)
+        lam = jnp.clip(lam * decay, -lam_max, lam_max)
         return jnp.concatenate(
             [lam[commit:], jnp.tile(lam[-1:], (commit, 1))], axis=0)
 
     return ALState(
         lam_ineq=_shift(al.lam_ineq),
         lam_eq=_shift(al.lam_eq),
-        lam_t_ineq=al.lam_t_ineq,
-        lam_t_eq=al.lam_t_eq,
+        lam_t_ineq=al.lam_t_ineq * decay,
+        lam_t_eq=al.lam_t_eq * decay,
         mu=jnp.asarray(mu0, dtype=al.mu.dtype),
         # per-row factors are window-position-free — carry them verbatim
         # (this is the cross-window ratchet; see ALState.mu_row)

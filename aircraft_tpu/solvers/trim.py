@@ -59,7 +59,7 @@ def _residual(params: AircraftParams, z, base_pos, target_airspeed, w_speed):
     return r
 
 
-@partial(jax.jit, static_argnums=(3,))
+@partial(jax.jit, static_argnums=(3,), static_argnames=("iters",))
 def solve_trim(
     params: AircraftParams,
     z0: jax.Array,
@@ -145,16 +145,77 @@ def multistart_trim(
     z0s = jnp.clip(z0s, lb, ub)
 
     sols = jax.vmap(lambda z0: solve_trim(params, z0, bounds, target_airspeed))(z0s)
-    if prefer_coordinated:
-        def lat(state):
-            v_body = quat.rotate_inv(state[6:10], state[3:6])
-            return jnp.abs(v_body[1])
 
+    def lat(state):
+        v_body = quat.rotate_inv(state[6:10], state[3:6])
+        return jnp.abs(v_body[1])
+
+    if prefer_coordinated:
         lat_v = jax.vmap(lat)(sols.state)
         score = jnp.where(sols.residual < 1e-3, lat_v, 1e6 + sols.residual)
-        best = jnp.argmin(score)
     else:
-        best = jnp.argmin(sols.residual)
+        score = sols.residual
+    if not bool(jnp.any(sols.residual < 1e-3)):
+        # RESCUE tier, entered only when the speed-penalized random
+        # multistart found NO equilibrium (the round-3 linear/poly failure:
+        # residual 1.6–46 on every start).  Two reasons it fails, two
+        # fixes — both gated here so well-behaved plants (default, nn) keep
+        # the path above bit-identical (the downstream waypoint warm-start
+        # basins are sensitive to the exact trim point):
+        #
+        # 1. Structured glide-ladder seeds: the random spread explores only
+        #    ~±0.1 rad of pitch around level, but fitted models can trim
+        #    ONLY in steep corners — measured on the affine plant (the
+        #    reference's own data/glider/linearised.csv coefficients): its
+        #    sole longitudinal equilibrium inside the ±5 elevator box is a
+        #    γ≈30–40° dive at L/D < 2, which every near-level start misses
+        #    (LM parks at a clipped-elevator corner, residual ~1).  Seeds
+        #    pair a descent angle γ with the matching attitude θ = α − γ,
+        #    at SEVERAL speeds: the equilibrium manifold may not pass near
+        #    the requested airspeed at all (the poly plant's symmetric
+        #    equilibria sit near v≈50).
+        # 2. Speed-penalty-free polish: when no equilibrium exists AT the
+        #    target speed, the penalized LM stalls at a compromise point
+        #    with genuine force residual; re-solving the pure trim system
+        #    from each found point (the reference treats airspeed as a
+        #    box, not a penalty — reference trim.py:278-416) lands on the
+        #    true equilibrium, and selection then prefers the converged
+        #    point nearest the requested speed.
+        v_seed = 30.0 if target_airspeed is None else float(target_airspeed)
+        glide = []
+        for v_s in dict.fromkeys((v_seed, 35.0, 50.0)):
+            for g_deg in (2.0, 6.0, 10.0, 15.0, 20.0, 26.0, 32.0, 38.0):
+                g = np.deg2rad(g_deg)
+                for a0, de0 in ((0.0, 0.0), (0.08, -1.0), (0.0, 3.0)):
+                    glide.append([v_s * np.cos(g), 0.0, v_s * np.sin(g),
+                                  0.0, a0 - g, 0.0, 0.0, de0, 0.0,
+                                  0.0, 0.0, 0.0])
+        z0s_g = jnp.clip(jnp.asarray(glide, dtype=z0s.dtype), lb, ub)
+        sols_g = jax.vmap(
+            lambda z0: solve_trim(params, z0, bounds, target_airspeed))(z0s_g)
+        sols = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), sols, sols_g)
+        z_found = jax.vmap(
+            lambda s, c: jnp.concatenate(
+                [s[3:6], quat.logmap(s[6:10]), c[0:3], c[7:10]]))(
+                sols.state, sols.control)
+        polished = jax.vmap(
+            lambda z0: solve_trim(params, z0, bounds, None))(z_found)
+        sols = jax.tree.map(
+            lambda p, s: jnp.where(
+                (polished.residual < sols.residual).reshape(
+                    (-1,) + (1,) * (p.ndim - 1)), p, s),
+            polished, sols)
+        speeds = jnp.linalg.norm(sols.state[:, 3:6], axis=-1)
+        dv = (jnp.abs(speeds - target_airspeed)
+              if target_airspeed is not None else jnp.zeros_like(speeds))
+        if prefer_coordinated:
+            lat_v = jax.vmap(lat)(sols.state)
+            score = jnp.where(sols.residual < 1e-3, lat_v + 0.01 * dv,
+                              1e6 + sols.residual)
+        else:
+            score = jnp.where(sols.residual < 1e-3, dv, 1e6 + sols.residual)
+    best = jnp.argmin(score)
     return TrimResult(
         state=sols.state[best],
         control=sols.control[best],

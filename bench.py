@@ -42,6 +42,20 @@ BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 
+def _write_run_artifact(out: dict, name: str) -> None:
+    """Persist a bench result as a committed-able artifact under data/runs/
+    (round-3 verdict: hardware numbers must exist as files, not commit
+    messages).  BENCH_OUT=0 disables (e.g. throwaway sweeps)."""
+    if os.environ.get("BENCH_OUT", "1") == "0":
+        return
+    runs = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "runs")
+    os.makedirs(runs, exist_ok=True)
+    path = os.path.join(runs, f"{name}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+
+
 def bench_kernel():
     """BENCH_MODE=kernel: fused Pallas rollout vs the XLA scan rollout on
     the same batch — measures the VMEM-residency win on real hardware."""
@@ -302,10 +316,12 @@ def _build_problem():
     else:
         # the hardware-validated course-serving recipe (control/course.py):
         # flyable glide z-profile, speed-sized turn radii, stall guards,
-        # the reference's hard-coded envelope.  The chained headline bench
-        # flies THIS configuration closed-loop, so its steady-state
-        # violation measures the serving loop that actually passes the
-        # course — not a formulation that stalls by construction.
+        # the reference's hard-coded envelope.  NOTE (round-3 advisor): the
+        # bench's default unit_scales/squash_box knobs below are a
+        # formulation REFINEMENT over what control/course.py flies until
+        # the course recipe itself adopts them after closed-loop hardware
+        # validation — the track geometry, envelope and costs are shared,
+        # the constraint-row parameterization diverges where flagged.
         #
         # The serving point (v_ref, glide_ld) is derived from the PLANT'S
         # OWN best-glide trim, not the default model's hand-tuned numbers:
@@ -784,7 +800,7 @@ def bench_serve():
     # mode into the metric string keeps historical comparisons like-for-like
     metric_name = ("serve_cadence_miss_rate_N50" if pipelined
                    else "serve_deadline_miss_rate_N50")
-    print(json.dumps({
+    out = {
         "metric": metric_name,
         "value": round(misses / n_windows, 4),
         "unit": "fraction",
@@ -804,7 +820,9 @@ def bench_serve():
         "mean_violation": round(float(np.mean(viol_hist)), 6),
         "p90_violation": round(float(np.percentile(viol_hist, 90)), 6),
         "device": str(jax.devices()[0]),
-    }))
+    }
+    _write_run_artifact(out, "serve_" + ("pipelined" if pipelined else "sync"))
+    print(json.dumps(out))
 
 
 def bench_roofline():
@@ -1000,6 +1018,81 @@ def bench_whole():
     }))
 
 
+def bench_oppoints():
+    """BENCH_MODE=oppoints: the serving-chain operating-point study — the
+    feasibility/throughput trade across (AL rounds × inner iterations)
+    budgets, each point a full headline-chain measurement (role of the
+    reference's ablation stat dumps in todo.md; round-3 verdict #5: every
+    number in the operating-point table must be reproducible from a
+    committed script).
+
+    Runs each point as a subprocess of THIS script (one jax process at a
+    time owns the chip; the persistent compile cache amortises program
+    shapes across points) and writes data/runs/operating_points.json.
+
+    BENCH_POINTS: comma-separated "ALxINNER[r]" specs; trailing 'r'
+    enables the per-row penalty ratchet (SolverConfig.penalty_per_row)."""
+    import subprocess
+
+    specs = os.environ.get(
+        "BENCH_POINTS", "2x6,2x10,3x8,4x20,4x20r,3x12r").split(",")
+    rows = []
+    for spec in specs:
+        spec = spec.strip()
+        rowpen = spec.endswith("r")
+        al, inner = spec.rstrip("r").split("x")
+        env = dict(os.environ)
+        env.update(BENCH_MODE="", BENCH_AL=al, BENCH_INNER=inner,
+                   BENCH_ROWPEN="1" if rowpen else "0", BENCH_OUT="0")
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+            timeout=float(os.environ.get("BENCH_POINT_TIMEOUT", "3600")),
+        )
+        wall = time.time() - t0
+        line = next(
+            (l for l in reversed(proc.stdout.strip().splitlines())
+             if l.startswith("{")), None)
+        if proc.returncode != 0 or line is None:
+            rows.append({"point": spec, "error":
+                         (proc.stderr or proc.stdout)[-500:]})
+        else:
+            r = json.loads(line)
+            rows.append({
+                "point": spec, "al": int(al), "inner": int(inner),
+                "rowpen": rowpen,
+                "solves_per_s": r["value"],
+                "mean_violation": r["mean_violation"],
+                "median_violation": r["median_violation"],
+                "p90_violation": r["p90_violation"],
+                "converged_fraction_1e2": r["converged_fraction_1e2"],
+                "diverged_fraction": r["diverged_fraction"],
+                "mean_cost": r["mean_cost"],
+                "violation_units": r["violation_units"],
+                "batch": r["batch"], "device": r["device"],
+                "subprocess_wall_s": round(wall, 1),
+            })
+        print(json.dumps(rows[-1]), file=sys.stderr, flush=True)
+    # the study's headline: best throughput among points clearing the 95%
+    # practical-feasibility gate (the round-3 verdict's done-condition);
+    # 0.0 states honestly that no measured point clears it yet
+    feasible = [r for r in rows if r.get("converged_fraction_1e2", 0) >= 0.95]
+    best = max(feasible, key=lambda r: r["solves_per_s"]) if feasible else None
+    out = {
+        "metric": "serving_chain_feasible_operating_point_solves_per_s",
+        "value": best["solves_per_s"] if best else 0.0,
+        "unit": "solves/s",
+        "vs_baseline": round(
+            (best["solves_per_s"] if best else 0.0) / BASELINE_SOLVES_PER_S, 2),
+        "gate": "converged_fraction_1e2 >= 0.95",
+        "best_point": best["point"] if best else None,
+        "points": rows,
+    }
+    _write_run_artifact(out, "operating_points")
+    print(json.dumps(out))
+
+
 def main():
     if os.environ.get("BENCH_MODE") == "whole":
         bench_whole()
@@ -1027,6 +1120,9 @@ def main():
         return
     if os.environ.get("BENCH_MODE") == "latency":
         bench_latency()
+        return
+    if os.environ.get("BENCH_MODE") == "oppoints":
+        bench_oppoints()
         return
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -1075,13 +1171,12 @@ def main():
         # (control/course.py)
         x0s, trim = _bench_fleet_states(cfg, params, _track, BATCH, _vref)
         u_trim = jnp.asarray(trim.control, jnp.float32)[:7]
-        if os.environ.get("BENCH_SQUASH", "1") != "0":
+        if ocp.control_unsquash is not None:
             # the solver optimizes the tanh pre-image w; warm starts map
-            # through unsquash (squash(w) == physical trim control)
-            from aircraft_tpu.solvers.ocp import make_squash_maps
-
-            _, _unsquash = make_squash_maps(*cfg.control.bounds(7))
-            u_trim = _unsquash(u_trim)
+            # through the OCP's OWN unsquash (squash(w) == physical trim
+            # control) — same transform instance as the solve, no
+            # independently-reconstructed maps (round-3 advisor)
+            u_trim = ocp.control_unsquash(u_trim)
         us0 = jnp.tile(u_trim[None, None, :], (BATCH, N_HORIZON, 1))
 
     # matmul precision: TPU f32 dots default to bf16 passes, which degrade
@@ -1118,12 +1213,22 @@ def main():
     # is the usual culprit on marginal stations (SURVEY §5.3).  The plant
     # state is never touched: a genuinely departed scenario keeps showing
     # its violations honestly.
-    # threshold at true-divergence scale: the throughput mode's TYPICAL
-    # steady violation is ~1 (squared-speed units), and resetting those
-    # scenarios just churns (cold duals -> worse window -> reset again:
-    # measured diverged_fraction 0 -> 0.46 with the threshold at 1.0);
-    # genuine departures show violations of 100+
-    RESET_VIOL = float(os.environ.get("BENCH_RESET_VIOL", "10.0"))
+    #
+    # Threshold calibration is UNIT-DEPENDENT (round-3 advisor): with
+    # unit_scales on (BENCH_SCALED=1, default) constraint rows read in
+    # physical units — a speed-floor row is m/s of deficit, not m²/s² — so
+    # a genuine departure (v=20 vs the 30 m/s floor) reads ~10 scaled where
+    # the same plant state read ~500 raw.  Typical steady-state violations
+    # are ~1 scaled / ~3 raw, and resetting those just churns (cold duals
+    # -> worse window -> reset again: measured diverged_fraction 0 -> 0.46
+    # with a threshold inside the steady band).  Defaults sit above steady
+    # noise and below true-departure scale in EACH convention.
+    scaled_rows = (os.environ.get("BENCH_SCALED", "1") != "0"
+                   and not os.environ.get("BENCH_RAW"))
+    RESET_VIOL = float(os.environ.get(
+        "BENCH_RESET_VIOL", "5.0" if scaled_rows else "10.0"))
+    violation_units = ("physical-unit-scaled" if scaled_rows
+                      else "raw-squared-speed")
 
     def chain_step(z0s, us, al, us_reset, al_reset):
         sols = ilqr.solve_batch(ocp, z0s, us, solver_cfg, al_inits=al)
@@ -1142,7 +1247,26 @@ def main():
             al_next, al_reset)
         return z_next, us_next, al_next, sols.cost, sols.violation
 
-    chain = jax.jit(chain_step)
+    # BENCH_SCAN_WINDOWS=W (>1): run W chained windows inside ONE compiled
+    # executable (lax.scan over windows — the run_batch_scan serving shape)
+    # so per-dispatch overhead (host->device launch through this
+    # environment's remote-device tunnel) amortises over W replans instead
+    # of being paid per window.  Timed wall is then divided by W.
+    SCAN_W = int(os.environ.get("BENCH_SCAN_WINDOWS", "1"))
+    if SCAN_W > 1:
+        def chain_scan(z0s, us, al, us_reset, al_reset):
+            def body(carry, _):
+                z, u, a = carry
+                z, u, a, cost, viol = chain_step(z, u, a, us_reset, al_reset)
+                return (z, u, a), (cost, viol)
+
+            (z, u, a), (costs, viols) = jax.lax.scan(
+                body, (z0s, us, al), None, length=SCAN_W)
+            return z, u, a, costs[-1], viols[-1]
+
+        chain = jax.jit(chain_scan)
+    else:
+        chain = jax.jit(chain_step)
     al0 = jax.vmap(
         lambda x, u: ocp_mod.init_al_state(
             ocp, x, u, N_HORIZON, mu0=solver_cfg.penalty_init)
@@ -1173,7 +1297,7 @@ def main():
             walls.append(time.time() - t0)
             if chained:
                 z, us, al = z2, us2, al2
-    wall = float(np.median(walls))
+    wall = float(np.median(walls)) / SCAN_W
 
     solves_per_s = BATCH / wall
     viol_np = np.asarray(viol)
@@ -1191,32 +1315,44 @@ def main():
     diverged_fraction = float(np.mean(viol_np > RESET_VIOL))
     mean_cost = float(np.nanmean(cost_np))
 
-    print(
-        json.dumps(
-            {
-                "metric": "6dof_nn_mpc_solves_per_s_N50_per_chip",
-                "value": round(solves_per_s, 2),
-                "unit": "solves/s",
-                "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
-                "batch": BATCH,
-                "wall_s_per_batch": round(wall, 4),
-                "latency_s_per_window": round(wall, 4),
-                "compile_s": round(compile_wall, 1),
-                "compile_cache_entries_at_start": cache_entries,
-                "chained_windows": chained,
-                "matmul_precision": precision,
-                "finite_fraction": round(n_finite / BATCH, 3),
-                "mean_violation": round(mean_viol, 6),
-                "cold_window_mean_violation": round(cold_viol, 4),
-                "converged_fraction_1e2": round(converged_fraction, 4),
-                "p90_violation": round(p90_violation, 6),
-                "median_violation": round(median_violation, 6),
-                "diverged_fraction": round(diverged_fraction, 4),
-                "mean_cost": round(mean_cost, 2),
-                "device": str(jax.devices()[0]),
-            }
-        )
-    )
+    out = {
+        "metric": "6dof_nn_mpc_solves_per_s_N50_per_chip",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
+        "batch": BATCH,
+        "wall_s_per_batch": round(wall, 4),
+        "latency_s_per_window": round(wall, 4),
+        "compile_s": round(compile_wall, 1),
+        "compile_cache_entries_at_start": cache_entries,
+        "chained_windows": chained,
+        "scan_windows": SCAN_W,
+        "matmul_precision": precision,
+        "al_iters": solver_cfg.max_al_iters,
+        "inner_iters": solver_cfg.max_inner_iters,
+        "penalty_per_row": solver_cfg.penalty_per_row,
+        # the unit convention every violation field below is measured in
+        # (round-3 advisor: r01/r02 numbers were raw squared-speed rows;
+        # r03+ default to unit-scaled physical rows — not like-for-like)
+        "violation_units": violation_units,
+        "converged_gate": 1e-2,
+        "reset_viol": RESET_VIOL,
+        "warmup_windows": int(os.environ.get("BENCH_WARMUP", "6")),
+        "finite_fraction": round(n_finite / BATCH, 3),
+        "mean_violation": round(mean_viol, 6),
+        "cold_window_mean_violation": round(cold_viol, 4),
+        "converged_fraction_1e2": round(converged_fraction, 4),
+        "p90_violation": round(p90_violation, 6),
+        "median_violation": round(median_violation, 6),
+        "diverged_fraction": round(diverged_fraction, 4),
+        "mean_cost": round(mean_cost, 2),
+        "device": str(jax.devices()[0]),
+    }
+    tag = "raw" if os.environ.get("BENCH_RAW") else (
+        f"{solver_cfg.max_al_iters}x{solver_cfg.max_inner_iters}"
+        + ("_rowpen" if solver_cfg.penalty_per_row else ""))
+    _write_run_artifact(out, f"bench_headline_{tag}")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

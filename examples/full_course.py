@@ -37,8 +37,11 @@ def main():
     print(f"course: {len(wps)} waypoints, tolerance {cfg.waypoints.tolerance} m "
           f"over dims {list(cfg.waypoints.waypoint_indices)}")
 
+    # COURSE_DUAL_CARRY=1: fly with the violation-gated dual carry
+    # (MHTT.carry_gate) — the A/B the round-3 verdict asked for
+    dual_carry = os.environ.get("COURSE_DUAL_CARRY", "0") == "1"
     t0 = time.time()
-    out = solve_full_course(cfg, verbose=True)
+    out = solve_full_course(cfg, verbose=True, dual_carry=dual_carry)
     wall = time.time() - t0
 
     states = out["states"]
@@ -59,6 +62,37 @@ def main():
     data.save_npz(f"{outdir}/full_course.npz")
     TrajectoryPlotter(waypoints=wps, dt=0.05).save(data, f"{outdir}/full_course.png")
     print(f"saved {outdir}/full_course.npz and .png")
+
+    # result artifact (round-3 verdict #7: hardware results exist as files,
+    # not commit messages)
+    import json
+
+    import jax
+
+    runs = os.path.join(_REPO_ROOT, "data", "runs")
+    os.makedirs(runs, exist_ok=True)
+    backend = jax.default_backend()
+    report = {
+        "experiment": "full_course",
+        "device": str(jax.devices()[0]),
+        "dual_carry": dual_carry,
+        "misses_m": [round(m, 2) for m in out["misses"]],
+        "tolerance_m": out["tolerance"],
+        "success": out["success"],
+        "mpc_healthy": out["mpc_healthy"],
+        "windows": out["windows"],
+        "abort_reason": out["abort_reason"],
+        "retries": out["retries"],
+        "simulated_s": round(states.shape[0] * 0.05, 1),
+        "wall_s": round(wall, 1),
+        "speed_range_ms": [round(s, 1) for s in out["speed_range"]],
+        "final_altitude_m": round(out["final_altitude"], 1),
+    }
+    tag = f"course_{backend}" + ("_carry" if dual_carry else "")
+    path = os.path.join(runs, f"{tag}.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"saved {path}")
     return 0 if out["success"] else 1
 
 

@@ -174,14 +174,18 @@ class TestTimeOptimalSweep:
     @pytest.mark.slow
     def test_sweep_selects_fastest_feasible_schedule(self):
         """The free-time axis (reference control/variable_time.py +
-        base.py:361-379): the batched time-scale sweep must return a
-        feasible schedule and pick the fastest feasible candidate, with
-        each candidate warm-started at its own time scale."""
+        base.py:361-379): on a course whose nominal dt is DELIBERATELY
+        SLACK (1.3x the known-feasible 0.1 s schedule — the fixed-time
+        tests fly this course at 0.1), the sweep must return a schedule
+        strictly FASTER than nominal: free time has to actually buy time
+        (round-3 verdict #4 — the old span (0.9, 1.3) was satisfiable by
+        the nominal candidate alone, measuring nothing)."""
         cfg = short_course_config()
         params = AircraftParams.from_config(cfg.aircraft)
+        dt_nominal = 0.13
         res = wp_mod.solve_time_optimal(
-            params, cfg, num_nodes=70, dt_nominal=0.1, substeps=10,
-            n_candidates=3, dt_span=(0.9, 1.3),
+            params, cfg, num_nodes=70, dt_nominal=dt_nominal, substeps=10,
+            n_candidates=3, dt_span=(0.6, 0.95),
             solver_config=SolverConfig(max_al_iters=6, max_inner_iters=20),
         )
         feasible = np.asarray(res["feasible"])
@@ -189,6 +193,12 @@ class TestTimeOptimalSweep:
         assert feasible.any(), res["dmins"]
         # the returned schedule is the fastest feasible one
         assert res["total_time"] == pytest.approx(float(T[feasible].min()))
+        # ... and it is STRICTLY faster than the slack nominal: at least
+        # one sub-nominal candidate must solve feasibly (0.1 s per knot is
+        # a known-flyable schedule inside the sweep span)
+        nominal_time = 70 * dt_nominal
+        assert res["total_time"] < 0.96 * nominal_time, (
+            res["total_time"], nominal_time, res["dmins"])
         # and its trajectory is finite with waypoints inside the band
         xs = np.asarray(res["solution"].xs)
         assert np.all(np.isfinite(xs))

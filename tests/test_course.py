@@ -104,3 +104,19 @@ class TestCourseOpening:
         # healthy flight: no stall departure, no ground contact
         assert out["speed_range"][0] > 15.0
         assert np.all(out["states"][:, 2] < -5.0)
+
+    def test_first_waypoint_passes_with_gated_dual_carry(self):
+        """The course opening IS the energy-bleed transient (50 -> 22 m/s,
+        early windows genuinely infeasible) that poisoned the verbatim dual
+        carry (round-3: frozen at s=0.18 / wp2 missed by 155 m).  With the
+        violation-gated carry (MHTT.carry_gate: infeasible windows hand
+        cold duals forward) the carried duals must be >= neutral here —
+        same first-waypoint pass, no stall, no ground contact."""
+        from aircraft_tpu.control.course import solve_full_course
+
+        cfg = TrajectoryConfig.from_dict(GLIDER_PROBLEM)
+        out = solve_full_course(cfg, max_windows=45, dual_carry=True)
+        assert np.isfinite(out["states"]).all()
+        assert out["misses"][0] < cfg.waypoints.tolerance, out["misses"]
+        assert out["speed_range"][0] > 15.0
+        assert np.all(out["states"][:, 2] < -5.0)

@@ -221,3 +221,116 @@ class TestPerRowPenalty:
         sol = ilqr.solve(ocp, jnp.zeros(2), jnp.zeros((10, 1)),
                          SolverConfig(max_al_iters=2, max_inner_iters=5))
         np.testing.assert_array_equal(np.asarray(sol.al.mu_row), 1.0)
+
+
+class TestDualCarryGate:
+    """The violation-gated dual carry (ocp.shift_al_state ``decay``) — CPU
+    regression of the frozen-course failure mode (round-3 verdict #6).
+
+    Scenario: a receding-horizon chain whose plant starts DEEP in violation
+    of a floor constraint it can only climb out of slowly (rate-limited, ~5
+    windows of genuine transient infeasibility — the course's energy-bleed
+    entry in miniature).  Carrying duals VERBATIM through the transient
+    integrates λ ≈ Σ μ·g toward the cap; once feasibility returns, the
+    accumulated dual demands a floor margin of λ/μ and the chain settles far
+    above the true optimum (the course dived for speed until frozen).  The
+    gate hands cold duals forward from infeasible windows; at steady state
+    (feasible, floor ACTIVE) the carry stays on and keeps its win.
+    """
+
+    N, COMMIT, DT = 20, 10, 0.1
+
+    def _ocp(self):
+        dt = self.DT
+
+        def step(x, u, k):
+            p, v = x[0], x[1]
+            return jnp.stack([p + dt * v, v + dt * u[0]])
+
+        return OCPFunctions(
+            step=step,
+            # target BELOW the floor: the floor is active at the optimum
+            # (v* = 5), so the steady-state dual is nonzero and the carry
+            # has something real to win
+            stage_cost=lambda x, u, k: (x[1] - 4.8) ** 2 + 0.01 * u[0] ** 2,
+            terminal_cost=lambda x: (x[1] - 4.8) ** 2,
+            # floor v >= 5; acceleration box |a| <= 1 (the rate limit that
+            # makes the transient LONG)
+            ineq=lambda x, u, k: jnp.stack(
+                [5.0 - x[1], u[0] - 1.0, -1.0 - u[0]]),
+        )
+
+    def _run_chain(self, mode, n_windows=14):
+        from aircraft_tpu.solvers import ocp as ocp_mod
+
+        ocp = self._ocp()
+        # ONE AL round per window — the serving budget that makes the carry
+        # matter: with >=2 rounds the window itself can unwind a poisoned
+        # multiplier before committing (the course's 13-dim unstable plant
+        # could not, its line search cannot retreat from a committed dive)
+        cfg = SolverConfig(max_al_iters=1, max_inner_iters=8,
+                           hessian="gauss_newton")
+        solve = jax.jit(lambda x0, us, al: ilqr.solve_impl(
+            ocp, x0, us, cfg, al_init=al))
+        x = jnp.asarray([0.0, 0.0])
+        us = jnp.zeros((self.N, 1))
+        al = None
+        v_hist, lam_hist = [], []
+        for _ in range(n_windows):
+            sol = solve(x, us, al) if al is not None else jax.jit(
+                lambda x0, uss: ilqr.solve_impl(ocp, x0, uss, cfg))(x, us)
+            x = sol.xs[self.COMMIT]
+            us = jnp.concatenate(
+                [sol.us[self.COMMIT:],
+                 jnp.tile(sol.us[-1:], (self.COMMIT, 1))], axis=0)
+            if mode == "none":
+                al = None
+            else:
+                decay = 1.0
+                if mode == "gated" and float(sol.violation) > 0.5:
+                    decay = 0.0
+                al = ocp_mod.shift_al_state(sol.al, self.COMMIT,
+                                            mu0=cfg.penalty_init,
+                                            decay=decay)
+            v_hist.append(float(x[1]))
+            lam_hist.append(float(jnp.max(jnp.abs(sol.al.lam_ineq))))
+        return np.asarray(v_hist), np.asarray(lam_hist)
+
+    def test_ungated_carry_overshoots_after_transient(self):
+        v_none, _ = self._run_chain("none")
+        v_raw, _ = self._run_chain("ungated")
+        v_gated, _ = self._run_chain("gated")
+        # all chains climb out of the infeasible start
+        assert v_none[-1] > 4.5 and v_gated[-1] > 4.5
+        # REGRESSION (the course's dive-for-speed): the verbatim carry's
+        # transient-accumulated dual makes the first post-transient windows
+        # COMMIT a large floor overshoot (measured here: v peaks ~5.8 for a
+        # floor at 5) — on the real unstable plant that committed excursion
+        # lost the track and froze the course at s=0.18.  The gate removes
+        # the excursion entirely.
+        overshoot_raw = float(v_raw.max() - 5.0)
+        overshoot_gated = float(v_gated.max() - 5.0)
+        assert overshoot_raw > 0.3, overshoot_raw
+        assert overshoot_gated < 0.1, overshoot_gated
+        # and the gate KEEPS the steady-state dual-carry win: the carried
+        # active-floor multiplier holds the chain feasible where the cold
+        # chain parks slightly below the floor every window
+        assert v_gated[-1] >= 5.0 - 1e-3, v_gated[-1]
+        assert v_none[-1] < 5.0 - 0.01, v_none[-1]
+
+    def test_gate_keeps_duals_at_feasible_steady_state(self):
+        # once feasible, the gate must NOT strip the carry: the active
+        # floor's multiplier survives window-to-window
+        from aircraft_tpu.solvers import ocp as ocp_mod
+
+        v, _ = self._run_chain("gated")
+        ocp = self._ocp()
+        cfg = SolverConfig(max_al_iters=2, max_inner_iters=8,
+                           hessian="gauss_newton")
+        # steady-state window: solve from the settled state with carry
+        x = jnp.asarray([0.0, 5.0])
+        sol = ilqr.solve(ocp, x, jnp.zeros((self.N, 1)), cfg)
+        assert float(sol.violation) <= 0.5  # gate open
+        al2 = ocp_mod.shift_al_state(sol.al, self.COMMIT,
+                                     mu0=cfg.penalty_init, decay=1.0)
+        assert float(jnp.max(np.abs(np.asarray(al2.lam_ineq)))) > 0.0

@@ -299,3 +299,109 @@ class TestGliderParity:
         # the iLQR point must be AT LEAST as optimal as the oracle's
         # (both feasible at <=1e-8): cost no worse than oracle + tolerance
         assert float(sol.cost) <= nlp.cost + 1e-5 * abs(nlp.cost)
+
+
+class TestWellPosedWaypointParity:
+    """A waypoint-class instance carrying the BASELINE <1e-3 control-parity
+    gate (round-3 verdict #8): the flat-valley instance above proves the
+    MPCC degeneracy is real, THIS instance removes it — a strictly convex
+    control anchor (‖v − v_trim‖² over every channel, μ included) pins the
+    optimum so both solvers can localise it, while the complementarity
+    machinery (λ consumption, passage inequality, μ ≥ 0) stays fully
+    active.  Reference: control/waypoints.py:58-80 + config.py:23-50
+    (IPOPT at tol 1e-6; BASELINE.json <1e-3 deviation gate)."""
+
+    def test_single_waypoint_parity_1e3(self):
+        from aircraft_tpu.control import waypoints as wp_mod
+        from aircraft_tpu.dynamics.aircraft import AircraftParams
+        from aircraft_tpu.solvers.rollout import rollout as _rollout
+        from aircraft_tpu.solvers.trim import multistart_trim
+
+        N, dt, substeps = 20, 0.05, 5
+        acfg = dict(mass=4.0, span=2.0, length=1.2, chord=0.124605,
+                    reference_area=0.238, aero_centre_offset=[0.133, 0, 0.003],
+                    Ixx=0.155, Iyy=0.114, Izz=0.262, Ixz=0.01,
+                    glide_ratio=3.0, r_min=1.0)
+        params = AircraftParams.from_config(AircraftConfig(**acfg))
+        trim = multistart_trim(params, jax.random.PRNGKey(0), n_starts=32,
+                               target_airspeed=45.0)
+        x0 = np.asarray(trim.state, np.float32).copy()
+        x0[:3] = [0.0, 0.0, -200.0]
+        u_trim = jnp.asarray(trim.control, jnp.float32)[:7]
+
+        step13 = integrators.make_step_fn(params, substeps=substeps,
+                                          normalize="step")
+        us_trim = jnp.tile(u_trim[None], (N, 1))
+        xs_t = np.asarray(_rollout(step13, jnp.asarray(x0), us_trim, dt))
+        k_wp = 13
+        # waypoint 3 m starboard of the free rollout with a 2.5 m tolerance:
+        # passage requires a REAL maneuver (the trim rollout misses), and the
+        # tight tolerance keeps the passage window to a few knots
+        wp = (xs_t[k_wp, :3] + np.array([0.0, 3.0, 0.0])).tolist()
+
+        cfg = TrajectoryConfig.from_dict({
+            "waypoints": {
+                "waypoints": [wp],
+                "initial_state": x0.tolist(),
+                "default_velocity": 45,
+                "waypoint_indices": [0, 1, 2],
+                "waypoint_tolerance": 2.5,
+            },
+            "aircraft": acfg,
+            "state": {"alpha": [-15, 15], "beta": [-15, 15],
+                      "airspeed": [30, 100]},
+            "control": {
+                "aileron_limit": [-10, 10], "elevator_limit": [-10, 10],
+                "rudder_limit": [-10, 10],
+                "throttle_limit": [[0, 0, 0], [0, 0, 0]],
+                "centre_of_mass_limit": [[-0.5, -0.1, -0.1],
+                                         [0.5, 0.1, 0.1]]},
+        })
+        ocp = wp_mod.build_waypoint_ocp(params, cfg, dt=dt, num_nodes=N,
+                                        substeps=substeps, time_mode="fixed")
+        # STRICT CONVEXITY in every control direction: anchor the physical
+        # channels to trim and price the μ channel quadratically — unit
+        # curvature everywhere (vs the flat instance's ~3e-4 valley), so
+        # the optimum is a point, not a valley
+        base_stage = ocp.stage_cost
+
+        def stage(z, v, k):
+            du = v[..., :7] - u_trim
+            return (base_stage(z, v, k)
+                    + 0.5 * jnp.sum(du * du)
+                    + 0.5 * jnp.sum(v[..., 7:] ** 2))
+
+        ocp = ocp.replace(stage_cost=stage)
+
+        z0, vs = wp_mod.initial_guess(cfg, N, time_mode="fixed", dt=dt)
+        vs_np = np.array(vs)
+        vs_np[:, :7] = np.asarray(us_trim)
+        vs_np[:, 7:] = 0.0
+        vs_np[k_wp, 7] = 1.0
+
+        with jax.enable_x64():
+            sol = ilqr.solve(
+                ocp,
+                jnp.asarray(np.asarray(z0), jnp.float64),
+                jnp.asarray(vs_np, jnp.float64),
+                SolverConfig(max_al_iters=12, max_inner_iters=50, tol=1e-12,
+                             hessian="exact"),
+            )
+            sol.xs.block_until_ready()
+        assert bool(sol.converged), float(sol.violation)
+
+        nlp = solve_reference_nlp(ocp, np.asarray(z0, np.float64),
+                                  vs_np.astype(np.float64), maxiter=600)
+        assert nlp.success or nlp.violation < 1e-8, nlp.message
+        assert nlp.violation < 1e-8
+
+        wpa = np.asarray(wp)
+        for xs in (np.asarray(sol.xs), nlp.xs):
+            assert np.linalg.norm(xs[:, :3] - wpa, axis=1).min() < 2.5
+            assert abs(xs[-1, 13]) < 1e-6  # lambda consumed
+
+        max_du = np.abs(np.asarray(sol.us)[:, :7] - nlp.us[:, :7]).max()
+        rel_cost = abs(float(sol.cost) - nlp.cost) / abs(nlp.cost)
+        # THE BASELINE GATE, carried by a waypoint-class instance
+        assert max_du < 1e-3, max_du
+        assert rel_cost < 1e-6, rel_cost

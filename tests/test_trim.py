@@ -106,3 +106,50 @@ class TestDiscreteStability:
         assert report.dt_spectral_radius[-1] > report.dt_spectral_radius[0]
         # tiny dt: step map approaches identity
         np.testing.assert_allclose(report.dt_spectral_radius[0], 1.0, atol=0.05)
+
+
+class TestRescueTierTrim:
+    """The glide-ladder rescue tier of multistart_trim (round-4): plants
+    whose only equilibria live in steep corners of the envelope must still
+    trim.  Root-caused on the affine model (the reference's own
+    data/glider/linearised.csv coefficients, byte-equal in
+    data/networks/linearised.csv): its sole longitudinal equilibrium inside
+    the ±5 elevator box is a γ≈30–40° dive at L/D < 2 — every near-level
+    random start parks at a clipped-elevator corner with residual ~1, which
+    stalled the warm-start rollout of all 17 failing linear ablation rows
+    (round-3 verdict #3)."""
+
+    def test_linear_plant_trims_in_dive_corner(self):
+        import jax
+
+        from aircraft_tpu.config import glider_config
+        from aircraft_tpu.dynamics.aircraft import AircraftParams
+        from aircraft_tpu.dynamics.coefficients import default_artifact_coeff
+
+        cfg = glider_config()
+        params = AircraftParams.from_config(
+            cfg.aircraft, coeff=default_artifact_coeff("linear"))
+        t = trim_mod.multistart_trim(params, jax.random.PRNGKey(0),
+                                     n_starts=8, target_airspeed=30.0)
+        assert float(t.residual) < 1e-3, float(t.residual)
+        vel = np.asarray(t.state)[3:6]
+        gamma = np.arctan2(vel[2], np.hypot(vel[0], vel[1]))
+        # the equilibrium IS a steep dive — the model property, documented
+        assert np.degrees(gamma) > 20.0, np.degrees(gamma)
+
+    def test_rescue_tier_not_entered_for_healthy_plants(self):
+        """The default plant converges in tier 1 (speed-penalized random
+        multistart) — the rescue tier must not perturb its selection: trim
+        sits at the requested speed with near-zero residual."""
+        import jax
+
+        from aircraft_tpu.config import glider_config
+        from aircraft_tpu.dynamics.aircraft import AircraftParams
+
+        cfg = glider_config()
+        params = AircraftParams.from_config(cfg.aircraft)
+        t = trim_mod.multistart_trim(params, jax.random.PRNGKey(0),
+                                     n_starts=8, target_airspeed=30.0)
+        assert float(t.residual) < 1e-3
+        speed = float(np.linalg.norm(np.asarray(t.state)[3:6]))
+        assert abs(speed - 30.0) < 0.5, speed
