@@ -391,7 +391,8 @@ def solve_waypoint_racing(
 def _uniform_candidate_sweep(
     params: AircraftParams,
     config: TrajectoryConfig,
-    us_nominal: jax.Array,
+    sol_nominal: ilqr.ILQRSolution,
+    dt_nominal: float,
     dts,
     *,
     num_nodes: int,
@@ -399,27 +400,41 @@ def _uniform_candidate_sweep(
     solver_config: SolverConfig,
 ) -> ilqr.ILQRSolution:
     """Solve the FIXED-time racing problem at each uniform dt in ``dts``,
-    every candidate warm-started from the nominal solution's controls with
-    the μ passage impulses re-placed on the candidate-rate rollout (shared
-    machinery of `solve_time_optimal` and the staged free-time refinement).
-    Returns stacked solutions with a leading candidate axis."""
-    from aircraft_tpu.solvers.rollout import rollout as _rollout
+    every candidate seeded with the FULL nominal solution — controls, the
+    SOLVED μ passage distribution, AND the solution trajectory as an
+    `xs_init` reference (shared machinery of `solve_time_optimal` and the
+    staged free-time refinement).  Returns stacked solutions with a
+    leading candidate axis.
 
-    z0, vs0 = initial_guess(config, num_nodes, time_mode="fixed", dt=float(dts[0]))
-    step13 = integrators.make_step_fn(params, substeps=substeps, normalize="step")
-    wps_j = jnp.asarray(config.waypoints.array(), jnp.float32)
-    wp_idx = jnp.asarray(config.waypoints.waypoint_indices, dtype=jnp.int32)
-    n_wp = wps_j.shape[0]
+    Why trajectory seeding (measured, round 4): the nominal solution can
+    legitimately thread chaotic regimes (a post-stall dip), where an
+    open-loop replay of its own controls diverges by ROUNDING alone —
+    re-rolling `us_nominal` at any rate (even the nominal one) produced
+    57–215 m misses from a 4/7 m incumbent, which is why round-3's sweep
+    never beat the appended nominal candidate.  Each candidate instead
+    seeds from the TIME-WARPED solution trajectory (same path geometry,
+    velocities and body rates scaled by dt_nominal/dt_i — position rows
+    are then consistent with the candidate's dynamics BY CONSTRUCTION,
+    p + dt_i·(v·dt/dt_i) = p + dt·v), so the first backward pass
+    linearizes around a near-flyable faster flight of the same path.
+
+    CALLERS MUST GATE candidate results on `ocp_mod.rollout_defect`: a
+    candidate whose solve never accepted a real rollout hands back its
+    (dynamics-inconsistent) seed, whose cost/violation read optimistically."""
+    z0, _ = initial_guess(config, num_nodes, time_mode="fixed", dt=float(dts[0]))
+    us_nom = jnp.asarray(sol_nominal.us)
+    xs_nom = jnp.asarray(sol_nominal.xs)
+    dt_nom = jnp.asarray(dt_nominal, jnp.float32)
 
     def solve_at(dt_i):
-        xs_track = _rollout(step13, z0[:13], us_nominal[:, :7], dt_i)
-        vs_i = vs0.at[:, :7].set(us_nominal[:, :7])
-        vs_i = _place_mu_impulses(vs_i, xs_track, wps_j, wp_idx, n_wp)
+        scale = dt_nom / dt_i
+        xs_i = xs_nom.at[:, 3:6].multiply(scale).at[:, 10:13].multiply(scale)
         ocp_i = build_waypoint_ocp(
             params, config, dt=dt_i, num_nodes=num_nodes,
             substeps=substeps, time_mode="fixed",
         )
-        return ilqr.solve_impl(ocp_i, z0, vs_i, solver_config)
+        return ilqr.solve_impl(ocp_i, z0, us_nom, solver_config,
+                               xs_init=xs_i)
 
     return jax.jit(jax.vmap(solve_at))(jnp.asarray(dts, jnp.float32))
 
@@ -468,12 +483,22 @@ def _refine_free_time(
     scales = np.asarray([0.70, 0.78, 0.86, 0.93, 1.0], np.float32)
     dts_u = np.maximum(scales * dt, dt_bounds[0])
     sweep = _uniform_candidate_sweep(
-        params, config, jnp.asarray(sol_fixed.us), dts_u,
+        params, config, sol_fixed, dt, dts_u,
         num_nodes=num_nodes, substeps=substeps, solver_config=cfg)
     sweep_np = jax.tree.map(np.asarray, sweep)
     miss_u = np.asarray([miss_of(sweep_np.xs[i]) for i in range(len(dts_u))])
     fin_u = np.isfinite(sweep_np.xs).all(axis=(1, 2))
-    feas_u = (miss_u <= tol) & fin_u
+    # defect gate: a candidate that kept its (dynamics-inconsistent)
+    # time-warped seed is NOT a flyable schedule — see
+    # _uniform_candidate_sweep docstring
+    defects = np.asarray([
+        float(ocp_mod.rollout_defect(
+            build_waypoint_ocp(params, config, dt=float(dts_u[i]),
+                               num_nodes=num_nodes, substeps=substeps,
+                               time_mode="fixed"),
+            jnp.asarray(sweep_np.xs[i]), jnp.asarray(sweep_np.us[i])))
+        for i in range(len(dts_u))])
+    feas_u = (miss_u <= tol) & fin_u & (defects < 1e-2)
     best_u = None
     for i in np.argsort(dts_u):
         if feas_u[i]:
@@ -499,7 +524,9 @@ def _refine_free_time(
     nu0 = (1.0 / np.sqrt(dt_b)) if time_mode == "progress" else np.sqrt(dt_b)
     vs = jnp.concatenate(
         [us_b, jnp.full((num_nodes, 1), nu0, dtype=jnp.float32)], axis=1)
-    sol = ilqr.solve(ocp, z0, vs, cfg)
+    # trajectory-seeded (xs_init): replaying the winner's controls open-loop
+    # can diverge through chaotic regimes (see _uniform_candidate_sweep)
+    sol = ilqr.solve(ocp, z0, vs, cfg, None, xs_b)
 
     def timed_metrics(xs, vss):
         nu = np.asarray(vss)[:, -1]
@@ -602,7 +629,7 @@ def solve_time_optimal(
             substeps=substeps, time_mode="fixed", solver_config=cfg_s,
         )
         sols = _uniform_candidate_sweep(
-            params, config, jnp.asarray(nominal.us), dts,
+            params, config, nominal, dt_nominal, dts,
             num_nodes=num_nodes, substeps=substeps, solver_config=cfg_s)
         # append the nominal solve as its own candidate row
         sols = jax.tree.map(
@@ -646,8 +673,19 @@ def solve_time_optimal(
     )
     # honest gate: feasible means INSIDE the declared tolerance (the
     # course scorer uses the same 1.0x gate, control/course.py) — a
-    # schedule that misses by 2.5x tol is not a feasible schedule
-    feasible = (dmins < tol).all(axis=-1) & np.isfinite(xs).all(axis=(1, 2))
+    # schedule that misses by 2.5x tol is not a feasible schedule — AND a
+    # true rollout (candidates seeded through xs_init may hand back their
+    # dynamics-inconsistent seed; see _uniform_candidate_sweep)
+    defects = np.asarray([
+        float(ocp_mod.rollout_defect(
+            build_waypoint_ocp(params, config, dt=float(dts[i]),
+                               num_nodes=num_nodes, substeps=substeps,
+                               time_mode="fixed"),
+            jnp.asarray(xs[i]), jnp.asarray(np.asarray(sols.us)[i])))
+        for i in range(len(dts))])
+    feasible = ((dmins < tol).all(axis=-1)
+                & np.isfinite(xs).all(axis=(1, 2))
+                & (defects < 1e-2))
     T = dts * num_nodes
     best = None
     for i in np.argsort(T):

@@ -250,7 +250,8 @@ def _forward_pass(ocp: OCPFunctions, al: ALState, xs_ref, us_ref, K, k,
 
 def solve_impl(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
                config: SolverConfig = SolverConfig(),
-               al_init: ALState = None) -> ILQRSolution:
+               al_init: ALState = None,
+               xs_init: jax.Array = None) -> ILQRSolution:
     """Unjitted solver implementation. Use this inside your own jit/vmap
     when the OCP closes over TRACED values (e.g. a per-candidate timestep
     or parameter sweep: build the OCP inside the traced function and call
@@ -259,7 +260,20 @@ def solve_impl(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
 
     ``al_init``: optional warm-start multipliers (the previous window's
     `ILQRSolution.al` through `ocp_mod.shift_al_state`) — the dual analogue
-    of the shift-and-hold control carry in receding-horizon serving."""
+    of the shift-and-hold control carry in receding-horizon serving.
+
+    ``xs_init``: optional TRAJECTORY warm start (N+1, n) used as the first
+    linearization reference instead of re-rolling ``us_init`` open-loop —
+    the single-shooting analogue of the reference's state guesses
+    (reference control/base.py:339-385 seeds ca.Opti state variables
+    directly).  Why it exists: on a chaotic plant an open-loop replay of
+    even the SOLVER'S OWN solved controls can diverge from the solution
+    trajectory by rounding alone (measured: a waypoint solution threading
+    a post-stall dip replays to NaN, so re-seeding a solve AT its own
+    solution destroyed it).  A slightly dynamics-inconsistent (xs, us)
+    reference is fine: the first backward pass builds gains around it and
+    the feedback forward pass closes the defects — the accepted iterate is
+    always a true rollout."""
     N, m = us_init.shape
     n = x0.shape[-1]
     dtype = x0.dtype
@@ -287,7 +301,19 @@ def solve_impl(ocp: OCPFunctions, x0: jax.Array, us_init: jax.Array,
         )
         return jnp.concatenate([x0[None], xs_tail], axis=0), nfro
 
-    xs0, nfro0 = initial_rollout(us_init)
+    if xs_init is None:
+        xs0, nfro0 = initial_rollout(us_init)
+    else:
+        # seed nfro at N: the reference trajectory is not a certified
+        # rollout, so its iteration-1 incumbent cost reads +N·FREEZE_PENALTY
+        # and the first feedback forward pass (a TRUE rollout) is always
+        # accepted — the returned iterate can then never be the
+        # dynamics-inconsistent seed itself
+        # row 0 pinned to the TRUE initial state: every forward pass rolls
+        # from xs_ref[0], so a seed carrying its own x0 would silently
+        # re-anchor the whole solve
+        xs0 = jnp.asarray(xs_init, dtype).at[0].set(x0)
+        nfro0 = jnp.asarray(N)
     al0 = (ocp_mod.init_al_state(ocp, x0, us_init[0], N, mu0=config.penalty_init)
            if al_init is None else al_init)
 
@@ -405,11 +431,38 @@ solve = partial(jax.jit, static_argnums=(0, 3))(solve_impl)
 
 def solve_batch(ocp: OCPFunctions, x0s: jax.Array, us_inits: jax.Array,
                 config: SolverConfig = SolverConfig(),
-                al_inits: ALState = None) -> ILQRSolution:
+                al_inits: ALState = None,
+                batch_minor: bool = False) -> ILQRSolution:
     """vmap of `solve` over a leading scenario axis — thousands of
     simultaneous MPC solves in one XLA program (SURVEY §2.4: the scenario
     batch is the data-parallel axis of this domain).  ``al_inits``
-    optionally carries per-scenario dual warm starts (leading batch axis)."""
+    optionally carries per-scenario dual warm starts (leading batch axis).
+
+    ``batch_minor``: map over the batch as the LAST (minor-most) logical
+    axis instead of the leading one.  TPU tiles the two minor dims of every
+    array as (8 sublanes × 128 lanes); with the batch leading, the solver's
+    per-knot tensors put their tiny 7/13-sized dims minor and pad them to
+    128 lanes (~18× wasted HBM traffic and lane occupancy on every
+    intermediate).  Batch-minor puts the 256-wide scenario axis on the
+    lanes — the batched-small-op layout the Pallas kernels in kernels/ use
+    explicitly, here requested at the whole-program level through vmap axis
+    placement.  Interface unchanged: inputs/outputs still batch-leading;
+    the transposes at the boundary cost one pass over the carry, paid once
+    per window."""
+    if batch_minor:
+        mv_in = lambda t: jnp.moveaxis(t, 0, -1)
+        mv_out = lambda t: (jnp.moveaxis(t, -1, 0) if t.ndim > 0 else t)
+        alT = (jax.tree.map(mv_in, al_inits)
+               if al_inits is not None else None)
+        if alT is None:
+            sols = jax.vmap(
+                lambda x0, us: solve(ocp, x0, us, config),
+                in_axes=-1, out_axes=-1)(mv_in(x0s), mv_in(us_inits))
+        else:
+            sols = jax.vmap(
+                lambda x0, us, al: solve(ocp, x0, us, config, al),
+                in_axes=-1, out_axes=-1)(mv_in(x0s), mv_in(us_inits), alT)
+        return jax.tree.map(mv_out, sols)
     if al_inits is None:
         return jax.vmap(lambda x0, us: solve(ocp, x0, us, config))(x0s, us_inits)
     return jax.vmap(lambda x0, us, al: solve(ocp, x0, us, config, al))(

@@ -279,6 +279,20 @@ def true_cost(ocp: OCPFunctions, xs, us):
     return jnp.sum(stage) + ocp.terminal_cost(xs[-1])
 
 
+def rollout_defect(ocp: OCPFunctions, xs, us):
+    """Max dynamics defect ‖x_{k+1} − F(x_k, u_k)‖∞ along a trajectory —
+    the integrity check that (xs, us) is a TRUE rollout.  Single-shooting
+    iterates satisfy this by construction; seeds passed through
+    `ilqr.solve_impl(xs_init=...)` may not, and a returned iterate that
+    kept its seed must be gated on this before being trusted (the
+    reference's multiple-shooting defect rows play the same role,
+    reference control/base.py:275-286)."""
+    N = us.shape[0]
+    ks = jnp.arange(N)
+    nxt = jax.vmap(lambda x, u, k: ocp.step(x, u, k))(xs[:-1], us, ks)
+    return jnp.max(jnp.abs(nxt - xs[1:]))
+
+
 def max_violation(ocp: OCPFunctions, xs, us):
     """Worst constraint violation along the trajectory — the solver's
     `constr_viol_tol` analogue (reference config.py:25)."""

@@ -1045,11 +1045,16 @@ def bench_oppoints():
         env.update(BENCH_MODE="", BENCH_AL=al, BENCH_INNER=inner,
                    BENCH_ROWPEN="1" if rowpen else "0", BENCH_OUT="0")
         t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True,
-            timeout=float(os.environ.get("BENCH_POINT_TIMEOUT", "3600")),
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=float(os.environ.get("BENCH_POINT_TIMEOUT", "3600")),
+            )
+        except subprocess.TimeoutExpired:
+            rows.append({"point": spec, "error": "timeout"})
+            print(json.dumps(rows[-1]), file=sys.stderr, flush=True)
+            continue
         wall = time.time() - t0
         line = next(
             (l for l in reversed(proc.stdout.strip().splitlines())

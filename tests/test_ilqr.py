@@ -334,3 +334,52 @@ class TestDualCarryGate:
         al2 = ocp_mod.shift_al_state(sol.al, self.COMMIT,
                                      mu0=cfg.penalty_init, decay=1.0)
         assert float(jnp.max(np.abs(np.asarray(al2.lam_ineq)))) > 0.0
+
+
+class TestTrajectoryWarmStart:
+    """xs_init trajectory seeding (the reference's ca.Opti state guesses,
+    reference control/base.py:339-385): re-solving AT a previous solution
+    must keep it, and the returned iterate is always a true rollout."""
+
+    def _ocp(self):
+        dt = 0.1
+
+        def step(x, u, k):
+            return jnp.stack([x[0] + dt * x[1], x[1] + dt * u[0]])
+
+        return OCPFunctions(
+            step=step,
+            stage_cost=lambda x, u, k: 1e-2 * u[0] ** 2,
+            terminal_cost=lambda x: 10.0 * ((x[0] - 1.0) ** 2 + x[1] ** 2),
+            ineq=lambda x, u, k: jnp.stack([u[0] - 1.0, -1.0 - u[0]]),
+        )
+
+    def test_resolve_at_solution_is_stable(self):
+        ocp = self._ocp()
+        cfg = SolverConfig(max_al_iters=3, max_inner_iters=15,
+                           hessian="gauss_newton")
+        x0 = jnp.zeros(2)
+        sol = ilqr.solve(ocp, x0, jnp.zeros((25, 1)), cfg)
+        re = ilqr.solve(ocp, x0, sol.us, cfg, None, sol.xs)
+        assert float(re.cost) <= float(sol.cost) * (1 + 1e-5) + 1e-8
+        np.testing.assert_allclose(np.asarray(re.us), np.asarray(sol.us),
+                                   atol=1e-4)
+        # returned trajectory is a true rollout (defects ~ 0)
+        ks = jnp.arange(25)
+        nxt = jax.vmap(lambda x, u, k: ocp.step(x, u, k))(re.xs[:-1], re.us, ks)
+        assert float(jnp.max(jnp.abs(nxt - re.xs[1:]))) < 1e-5
+
+    def test_inconsistent_seed_never_returned(self):
+        # a garbage xs reference with good controls: the solver must return
+        # a genuine rollout, not echo the seed back
+        ocp = self._ocp()
+        cfg = SolverConfig(max_al_iters=2, max_inner_iters=10,
+                           hessian="gauss_newton")
+        x0 = jnp.zeros(2)
+        xs_fake = jnp.ones((26, 2)) * 37.0
+        sol = ilqr.solve(ocp, x0, jnp.zeros((25, 1)), cfg, None, xs_fake)
+        ks = jnp.arange(25)
+        nxt = jax.vmap(lambda x, u, k: ocp.step(x, u, k))(
+            sol.xs[:-1], sol.us, ks)
+        assert float(jnp.max(jnp.abs(nxt - sol.xs[1:]))) < 1e-5
+        assert float(jnp.max(jnp.abs(sol.xs[0] - x0))) == 0.0
