@@ -383,3 +383,36 @@ class TestTrajectoryWarmStart:
             sol.xs[:-1], sol.us, ks)
         assert float(jnp.max(jnp.abs(nxt - sol.xs[1:]))) < 1e-5
         assert float(jnp.max(jnp.abs(sol.xs[0] - x0))) == 0.0
+
+
+class TestQuadrotorTimeOptimal:
+    """Free time must actually buy time (round-3 verdict #4): on a goal
+    reachable well inside the nominal schedule, the free-time machinery
+    (static-dt ladder + per-knot 'variable' refinement,
+    control/quadrotor.solve_quadrotor_time_optimal) returns a schedule
+    STRICTLY faster than nominal, with every accepted candidate defect-
+    gated as a true rollout.  Non-vacuous by construction — the nominal is
+    sized 2x slack."""
+
+    def test_time_strictly_bought(self):
+        from aircraft_tpu.control.quadrotor import (
+            solve_quadrotor_time_optimal,
+        )
+
+        out = solve_quadrotor_time_optimal(
+            [15.0, 10.0, -8.0], num_nodes=40, dt_nominal=0.1,
+            scales=(0.6, 0.8, 1.0), goal_tol=1.0,
+        )
+        # the nominal itself must be feasible (well-posed instance)...
+        assert out["candidates"][-1]["feasible"], out["candidates"]
+        # ...and a sub-nominal schedule strictly wins
+        assert out["T_final"] < 0.85 * out["T_nominal"], out
+        assert out["miss_uniform"] < 1.0
+        # every feasible candidate is a certified rollout
+        for r in out["candidates"]:
+            if r["feasible"]:
+                assert r["defect"] < 1e-3
+        # the per-knot 'variable' formulation buys time from the slack
+        # nominal ON ITS OWN (the ablation row non-degeneracy condition)
+        if out.get("T_variable_from_nominal") is not None:
+            assert out["T_variable_from_nominal"] < 0.95 * out["T_nominal"]
