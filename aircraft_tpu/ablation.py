@@ -58,8 +58,16 @@ def run_case(
     goal,
     solver_config: SolverConfig,
     integration: str = "explicit",
+    start: str = "level",   # 'level' (JSON initial state) | 'trim'
+    ref_moments: bool = False,
 ) -> dict:
-    params = AircraftParams.from_config(config.aircraft, coeff=_coeff(model))
+    # ref_moments: compose moments in the REFERENCE'S OWN convention (no
+    # aero-centre arm — reference aircraft.py:325-330; see
+    # AircraftParams.com_in_moments).  Decisive for the fitted artifacts:
+    # the affine model is grid-infeasible in every case under the arm term
+    # and converges cleanly without it (measured round 4).
+    params = AircraftParams.from_config(config.aircraft, coeff=_coeff(model),
+                                        com_in_moments=not ref_moments)
     stage, terminal = goal_cost(jnp.asarray(goal), w_goal=1e-2, w_control=1e-2)
     ocp = build_aircraft_ocp(
         params, config, dt=dt, substeps=substeps, quaternion=quaternion,
@@ -80,6 +88,16 @@ def run_case(
                            target_airspeed=max(v0, 30.0))
     us0 = jnp.tile(jnp.asarray(trim.control, jnp.float32)[None, :7],
                    (num_nodes, 1))
+    if start == "trim":
+        # start from the PLANT'S OWN equilibrium, positioned at the JSON
+        # start (the reference's canonical initial state is itself its
+        # plant's hard-coded trim point, reference main/control/control.py:169
+        # / SURVEY §3.4).  Fitted artifacts need this: the affine model
+        # cannot hold the JSON's level 50 m/s state at all — its only
+        # equilibrium inside the control box is a γ≈34° dive (measured,
+        # solvers/trim.py rescue tier), and a level start departs before
+        # the solver can act.  The `start` field records the protocol.
+        x0 = jnp.asarray(trim.state, jnp.float32).at[:3].set(x0[:3])
 
     t0 = time.time()
     sol = ilqr.solve(ocp, x0, us0, solver_config)
@@ -91,7 +109,8 @@ def run_case(
     m = solver_metrics(sol, wall)
     m.update(
         model=model, quaternion=quaternion or "none", substeps=substeps,
-        integration=integration, num_nodes=num_nodes, dt=dt,
+        integration=integration, num_nodes=num_nodes, dt=dt, start=start,
+        moments="about_com" if ref_moments else "aero_centre_arm",
         goal_distance=float(np.linalg.norm(xs[-1, :3] - np.asarray(goal))),
         quaternion_drift=qnorm_drift,
         # practical feasibility, separate from the stationarity flag in
@@ -116,6 +135,8 @@ def run_ablation(
     dt: float = 0.05,
     out_dir: Optional[str] = None,
     solver_config: Optional[SolverConfig] = None,
+    start: str = "level",
+    ref_moments: bool = False,
 ) -> list[dict]:
     config = config or glider_config()
     # constraint_tol 0.1 = the grid's own practical-feasibility gate (the
@@ -136,7 +157,8 @@ def run_ablation(
             m, sol = run_case(
                 config, model=model, quaternion=qmode, substeps=ss,
                 integration=integ, num_nodes=num_nodes, dt=dt, goal=goal,
-                solver_config=solver_config,
+                solver_config=solver_config, start=start,
+                ref_moments=ref_moments,
             )
             if out_dir:
                 Path(out_dir).mkdir(parents=True, exist_ok=True)
@@ -262,6 +284,12 @@ def main():
                     help="run only the free-time-mode rows")
     ap.add_argument("--merge", action="store_true",
                     help="merge partial_*.json in --out into summary.json")
+    ap.add_argument("--trim-start", action="store_true",
+                    help="start each case from the model's own trim "
+                         "equilibrium (recorded per-row as start='trim')")
+    ap.add_argument("--ref-moments", action="store_true",
+                    help="reference moment convention (coefficients about "
+                         "the CoM, no aero-centre arm; recorded per-row)")
     args = ap.parse_args()
     if args.merge:
         rows = []
@@ -290,6 +318,8 @@ def main():
         rows = run_ablation(
             models=models, integration_modes=INTEGRATION_MODES,
             time_modes=(), out_dir=args.out,
+            start="trim" if args.trim_start else "level",
+            ref_moments=args.ref_moments,
         )
         tag = "_".join(models)
     if args.out:

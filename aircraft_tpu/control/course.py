@@ -145,7 +145,7 @@ def solve_full_course(
     track_extend: float = 150.0,
     abort_patience: int = 3,
     n_candidates: Optional[int] = None,
-    dual_carry: bool = False,
+    dual_carry: bool = True,
 ) -> dict:
     """Fly the configured waypoint course closed-loop; returns the flown
     trajectory, per-waypoint misses, and success over the declared
@@ -199,18 +199,19 @@ def solve_full_course(
             max_al_iters=4,
             max_inner_iters=30 if jax.default_backend() == "tpu" else 20,
             hessian="gauss_newton"),
-        # Dual carry on the course flight defaults OFF: the 400-window
-        # there-and-back is transient-dominated (50 -> 20 m/s energy bleed,
-        # per-segment regime changes), and VERBATIM-carried multipliers
-        # accumulate on rows the transient keeps active until they dominate
-        # the cost — measured on v5e at HEAD: overspeed to 59 m/s, second
-        # turnaround lost, flight frozen at s=0.18 (uncapped) / wp2 missed
-        # by 155 m (capped 1e3).  The violation-gated carry
-        # (MHTT.carry_gate, round-4: infeasible windows hand cold duals
-        # forward) removes that failure mode by construction
-        # (tests/test_ilqr.py::TestDualCarryGate); pass dual_carry=True to
-        # fly with it — kept opt-in here until a full-course hardware run
-        # revalidates the 4/4-waypoint result with the carry on.
+        # Dual carry ON is the single default (round-3 verdict #6 done
+        # condition) — safe because the carry is violation-GATED
+        # (MHTT.carry_gate: infeasible windows hand cold duals forward).
+        # History: the VERBATIM carry integrated multipliers through the
+        # transient-dominated there-and-back (50 -> 20 m/s energy bleed)
+        # until window solutions dived for speed — v5e: frozen at s=0.18
+        # (uncapped) / wp2 missed by 155 m (capped 1e3) — so round 3 flew
+        # carry-free.  The gate removes that failure mode by construction
+        # (tests/test_ilqr.py::TestDualCarryGate), and the gated carry was
+        # re-flown on v5e (2026-08-21, data/runs/course_tpu_carry.json):
+        # 4/4 waypoints at misses 0.25/0.30/0.91/0.55 m over 222 windows,
+        # zero retries — tighter than the same-session carry-free flight
+        # (0.25/0.38/0.49/2.39 m, data/runs/course_tpu.json).
         dual_carry=dual_carry,
     )
 

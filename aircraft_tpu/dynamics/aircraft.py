@@ -61,6 +61,22 @@ class AircraftParams:
     stall_scaling: bool = struct.field(pytree_node=False, default=False)
     thrust_enabled: bool = struct.field(pytree_node=False, default=False)
     com_in_control: bool = struct.field(pytree_node=False, default=False)
+    # moment composition convention.  True (default): moments about the CoM
+    # include the aero force's arm, m = m_aero + com × F — the textbook
+    # composition given the JSON's documented meaning of aero_centre_offset
+    # ('position of aerodynamic centre relative to the centre of mass',
+    # reference utils.py:208).  False: the REFERENCE'S OWN convention — its
+    # moments are the bare coefficient products (reference
+    # aircraft.py:325-330 has no cross term; the offset enters only the
+    # parallel-axis inertia, :175-177), i.e. the fitted data's Cm is
+    # treated as already about the CoM.  The conventions diverge by
+    # com×F ≈ 10 N·m at cruise (vs an aero-moment scale of ~5), which is
+    # decisive for fitted artifacts with weak pitch authority: measured on
+    # the affine model, the arm term leaves a γ≈40° dive as the ONLY
+    # equilibrium and every level start departs, while under the
+    # reference's convention the same artifact trims at L/D 2.2 and the
+    # ablation grid case converges cleanly (viol 0.0 from the JSON start).
+    com_in_moments: bool = struct.field(pytree_node=False, default=True)
 
     @classmethod
     def from_config(
@@ -71,6 +87,7 @@ class AircraftParams:
         stall_scaling: bool = False,
         thrust_enabled: bool = False,
         com_in_control: bool = False,
+        com_in_moments: bool = True,
         dtype=jnp.float32,
     ) -> "AircraftParams":
         return cls(
@@ -86,6 +103,7 @@ class AircraftParams:
             stall_scaling=stall_scaling,
             thrust_enabled=thrust_enabled,
             com_in_control=com_in_control,
+            com_in_moments=com_in_moments,
         )
 
     @property
@@ -203,6 +221,10 @@ def moments_frd(params: AircraftParams, x: jax.Array, u: jax.Array, wind=None) -
         [params.b, params.c, params.b], axis=-1
     )
     m_aero = coeffs[..., 3:] * scale
+    if not params.com_in_moments:
+        # reference parity: coefficients already about the CoM (see
+        # AircraftParams.com_in_moments)
+        return m_aero
     f = forces_frd(params, x, u, wind)
     return m_aero + jnp.cross(effective_com(params, u), f)
 

@@ -1235,8 +1235,14 @@ def main():
     violation_units = ("physical-unit-scaled" if scaled_rows
                       else "raw-squared-speed")
 
+    # BENCH_BATCH_MINOR=1: map the scenario batch as the LAST logical axis
+    # (ilqr.solve_batch batch_minor) so the 256-wide batch rides the TPU
+    # lanes instead of each 7/13-dim tensor padding its minor dim to 128
+    BATCH_MINOR = os.environ.get("BENCH_BATCH_MINOR", "0") == "1"
+
     def chain_step(z0s, us, al, us_reset, al_reset):
-        sols = ilqr.solve_batch(ocp, z0s, us, solver_cfg, al_inits=al)
+        sols = ilqr.solve_batch(ocp, z0s, us, solver_cfg, al_inits=al,
+                                batch_minor=BATCH_MINOR)
         z_next = sols.xs[:, COMMIT]
         us_next = jnp.concatenate(
             [sols.us[:, COMMIT:],

@@ -37,9 +37,9 @@ def main():
     print(f"course: {len(wps)} waypoints, tolerance {cfg.waypoints.tolerance} m "
           f"over dims {list(cfg.waypoints.waypoint_indices)}")
 
-    # COURSE_DUAL_CARRY=1: fly with the violation-gated dual carry
-    # (MHTT.carry_gate) — the A/B the round-3 verdict asked for
-    dual_carry = os.environ.get("COURSE_DUAL_CARRY", "0") == "1"
+    # COURSE_DUAL_CARRY=0 flies the carry-free A/B; the gated dual carry
+    # is the default (hardware-validated both ways, data/runs/course_tpu*.json)
+    dual_carry = os.environ.get("COURSE_DUAL_CARRY", "1") == "1"
     t0 = time.time()
     out = solve_full_course(cfg, verbose=True, dual_carry=dual_carry)
     wall = time.time() - t0
