@@ -340,7 +340,9 @@ class MHTT:
         )
 
         def _gated_decay(violation):
-            return (violation <= self.carry_gate).astype(jnp.float32)
+            # shared implementation (solvers/ocp.gated_decay) — the bench
+            # chain and serve mode gate through the same function
+            return ocp_mod.gated_decay(violation, self.carry_gate)
 
         self._gated_decay = _gated_decay
         self._shift_al_batch = jax.jit(jax.vmap(

@@ -236,6 +236,23 @@ def shift_al_state(al: ALState, commit: int, mu0: float = 10.0,
     )
 
 
+def gated_decay(violation, gate):
+    """THE violation gate on the receding-horizon dual carry — one
+    implementation for every consumer (MHTT serving, the closed-loop
+    course, the bench headline chain, and bench serve mode).
+
+    Returns the ``decay`` factor for `shift_al_state`: 1.0 (carry the
+    multipliers verbatim) when the window solved to within ``gate``,
+    0.0 (hand cold duals forward) when it did not — the cross-window
+    analogue of 'update multipliers only when the violation decreased'
+    (Conn–Gould–Toint; see shift_al_state docstring and
+    tests/test_ilqr.py::TestDualCarryGate).  Round-4 lesson: the one
+    consumer that skipped the gate (bench serve mode) shipped an artifact
+    recording a stalled flight — the ungated carry integrated duals
+    through the entry transient exactly as the course had measured."""
+    return (violation <= gate).astype(jnp.float32)
+
+
 def al_stage_cost(ocp: OCPFunctions, al: ALState, x, u, k):
     """Stage cost + AL penalty terms.
 

@@ -56,6 +56,16 @@ def _write_run_artifact(out: dict, name: str) -> None:
         json.dump(out, f, indent=1)
 
 
+def _cache_entries() -> int:
+    """Persistent-compile-cache entry count — recorded in artifacts so
+    cold-vs-warm compile state is explicit (round-2 verdict #6)."""
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
+    try:
+        return len(os.listdir(cache_dir)) if cache_dir else 0
+    except OSError:
+        return 0
+
+
 def bench_kernel():
     """BENCH_MODE=kernel: fused Pallas rollout vs the XLA scan rollout on
     the same batch — measures the VMEM-residency win on real hardware."""
@@ -685,39 +695,65 @@ def bench_serve():
     # this environment's remote tunnel vs 68 ms for the solve itself).
     from aircraft_tpu.solvers import ocp as ocp_mod
 
-    def _serve_step(z0, uss, al):
-        # dual warm start carried window-to-window (shift_al_state) — the
-        # same chain the headline bench measures batched
+    scaled_rows = (os.environ.get("BENCH_SCALED", "1") != "0"
+                   and not os.environ.get("BENCH_RAW"))
+    RESET_VIOL = float(os.environ.get(
+        "BENCH_RESET_VIOL", "5.0" if scaled_rows else "10.0"))
+
+    def _serve_step(z0, uss, al, us_reset, al_reset):
+        # dual warm start carried window-to-window, violation-GATED through
+        # the shared ocp_mod.gated_decay (round-4 verdict #3: the ungated
+        # carry stalled the committed serve flight exactly the way the
+        # course transient had measured), PLUS the headline chain's bounded
+        # recovery: a window above RESET_VIOL hands a clean trim warm start
+        # and cold duals to the next window — the plant state itself is
+        # never touched, a departed flight keeps reporting honestly.
         sol = ilqr.solve_impl(ocp, z0, uss, solver_cfg, al_init=al)
         x_next = sol.xs[commit]
         us_next = jnp.concatenate(
             [sol.us[commit:], jnp.tile(sol.us[-1:], (commit, 1))], axis=0
         )
-        al_next = ocp_mod.shift_al_state(sol.al, commit,
-                                         mu0=solver_cfg.penalty_init)
+        al_next = ocp_mod.shift_al_state(
+            sol.al, commit, mu0=solver_cfg.penalty_init,
+            decay=ocp_mod.gated_decay(sol.violation, RESET_VIOL))
+        bad = sol.violation > RESET_VIOL
+        us_next = jnp.where(bad, us_reset, us_next)
+        al_next = jax.tree.map(
+            lambda car, cold: jnp.where(bad, cold, car), al_next, al_reset)
         blob = jnp.concatenate([
             sol.xs[1:commit + 1, :14].reshape(-1),
             sol.us[:commit].reshape(-1),
-            jnp.stack([sol.cost, sol.violation,
+            jnp.stack([sol.cost, sol.violation, bad.astype(jnp.float32),
                        sol.xs[commit, 13]]).astype(jnp.float32),
         ])
         return x_next, us_next, al_next, blob
 
     step = jax.jit(_serve_step)
-    x = _bench_initial_states(cfg, 1)[0]
-    us = jnp.zeros((N, 7), dtype=jnp.float32)
+    # a healthy on-track serving state + the trim warm start — the same
+    # snapshot the headline fleet solves (round-4's stalled artifact
+    # started the raw course-entry state with ZERO controls and no reset:
+    # the solve never recovered from the poisoned basin)
+    zs, trim = _bench_fleet_states(cfg, params, _track, 1, _vref,
+                                   s_span=(0.1, 0.1))
+    x = zs[0]
+    u_trim = jnp.asarray(trim.control, jnp.float32)[:7]
+    if ocp.control_unsquash is not None:
+        u_trim = ocp.control_unsquash(u_trim)
+    us_reset = jnp.tile(u_trim[None, :], (N, 1))
+    us = us_reset
     al = ocp_mod.init_al_state(ocp, x, us[0], N, mu0=solver_cfg.penalty_init)
+    al_reset = al
 
     t0 = time.time()
-    x1, us1, al1, blob = step(x, us, al)
+    x1, us1, al1, blob = step(x, us, al, us_reset, al_reset)
     blob.block_until_ready()
     compile_wall = time.time() - t0
 
     def _unpack(host):
         xs14 = host[: commit * 14].reshape(commit, 14)
         us_c = host[commit * 14 : commit * 14 + commit * 7].reshape(commit, 7)
-        cost, viol, progress = host[-3:]
-        return xs14, us_c, cost, viol, progress
+        cost, viol, was_reset, progress = host[-4:]
+        return xs14, us_c, cost, viol, was_reset, progress
 
     log_path = os.path.join(tempfile.gettempdir(), "aircraft_tpu_serve.bin")
     # BENCH_PIPELINE=1 (default): dispatch window w+1 BEFORE pulling window
@@ -730,10 +766,11 @@ def bench_serve():
     # synchronous loop with a solve/copy/telemetry breakdown.
     pipelined = os.environ.get("BENCH_PIPELINE", "1") != "0"
     solve_walls, copy_walls, tel_walls, cadence, viol_hist = [], [], [], [], []
+    progress_hist, n_resets = [], 0
     with tel.TelemetryRecorder(log_path, tel.FLIGHT_REC_FLOATS,
                                capacity=1 << 16) as rec:
         if pipelined:
-            x_n, us_n, al_n, blob_n = step(x, us, al)    # dispatch window 0
+            x_n, us_n, al_n, blob_n = step(x, us, al, us_reset, al_reset)
             t_prev = time.time()
             for w in range(n_windows):
                 x, us, al, blob = x_n, us_n, al_n, blob_n
@@ -742,10 +779,13 @@ def bench_serve():
                 # blob is never pulled would burn a full window solve on
                 # the single shared chip)
                 if w + 1 < n_windows:
-                    x_n, us_n, al_n, blob_n = step(x, us, al)
+                    x_n, us_n, al_n, blob_n = step(x, us, al,
+                                                   us_reset, al_reset)
                 host = np.asarray(blob)        # overlaps with solve w+1
-                xs14, us_c, cost, viol, progress = _unpack(host)
+                xs14, us_c, cost, viol, was_reset, progress = _unpack(host)
                 viol_hist.append(float(viol))
+                progress_hist.append(float(progress))
+                n_resets += int(was_reset > 0)
                 rec.push(tel.flight_records(
                     w, xs14[:, :13], us_c, xs14[:, 13], cost, viol,
                 ))
@@ -755,7 +795,7 @@ def bench_serve():
         else:
             for w in range(n_windows):
                 t0 = time.time()
-                x, us, al, blob = step(x, us, al)
+                x, us, al, blob = step(x, us, al, us_reset, al_reset)
                 blob.block_until_ready()
                 t1 = time.time()
                 solve_walls.append(t1 - t0)
@@ -764,8 +804,10 @@ def bench_serve():
                 t2 = time.time()
                 copy_walls.append(t2 - t1)
 
-                xs14, us_c, cost, viol, progress = _unpack(host)
+                xs14, us_c, cost, viol, was_reset, progress = _unpack(host)
                 viol_hist.append(float(viol))
+                progress_hist.append(float(progress))
+                n_resets += int(was_reset > 0)
                 rec.push(tel.flight_records(
                     w, xs14[:, :13], us_c, xs14[:, 13], cost, viol,
                 ))
@@ -816,7 +858,20 @@ def bench_serve():
         "telemetry_records": written,
         "telemetry_dropped": dropped,
         "compile_wall_s": round(compile_wall, 1),
+        # compile-cache state explains tail-latency outliers (a cold cache
+        # recompiles the window program mid-flight through the remote
+        # tunnel; round-4 verdict weak #1/#6)
+        "compile_cache_entries_at_start": _cache_entries(),
+        "initial_progress": round(float(progress_hist[0]) if progress_hist
+                                  else 0.0, 4),
         "final_progress": round(float(progress), 4),
+        "progress_per_window": round(
+            (float(progress) - float(progress_hist[0])) / max(n_windows - 1, 1)
+            if progress_hist else 0.0, 6),
+        "resets": n_resets,
+        "reset_viol": RESET_VIOL,
+        "violation_units": ("physical-unit-scaled" if scaled_rows
+                            else "raw-squared-speed"),
         "mean_violation": round(float(np.mean(viol_hist)), 6),
         "p90_violation": round(float(np.percentile(viol_hist, 90)), 6),
         "device": str(jax.devices()[0]),
@@ -1072,6 +1127,7 @@ def bench_oppoints():
                 "median_violation": r["median_violation"],
                 "p90_violation": r["p90_violation"],
                 "converged_fraction_1e2": r["converged_fraction_1e2"],
+                "converged_fraction_1e4": r.get("converged_fraction_1e4"),
                 "diverged_fraction": r["diverged_fraction"],
                 "mean_cost": r["mean_cost"],
                 "violation_units": r["violation_units"],
@@ -1192,11 +1248,7 @@ def main():
     # persistent-cache state BEFORE compiling — the r02 402 s cold start was
     # this cache going cold (the ILQRSolution.al field changed the program
     # hash); reporting it makes cold-vs-warm explicit in the artifact
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
-    try:
-        cache_entries = len(os.listdir(cache_dir)) if cache_dir else 0
-    except OSError:
-        cache_entries = 0
+    cache_entries = _cache_entries()
 
     # THE HEADLINE MEASUREMENT: the steady-state receding-horizon serving
     # chain (reference main/mhe/mhtt.py:79-124).  Each step solves the whole
@@ -1247,9 +1299,16 @@ def main():
         us_next = jnp.concatenate(
             [sols.us[:, COMMIT:],
              jnp.tile(sols.us[:, -1:], (1, COMMIT, 1))], axis=1)
+        # violation-GATED dual carry (ocp_mod.gated_decay — the single
+        # shared implementation with MHTT/course/serve): windows that
+        # solved worse than the reset threshold hand cold duals forward.
+        # At gate == RESET_VIOL this is also consistent with the reset
+        # overwrite below, which replaces those scenarios' duals wholesale.
         al_next = jax.vmap(
-            lambda a: ocp_mod.shift_al_state(
-                a, COMMIT, mu0=solver_cfg.penalty_init))(sols.al)
+            lambda a, v: ocp_mod.shift_al_state(
+                a, COMMIT, mu0=solver_cfg.penalty_init,
+                decay=ocp_mod.gated_decay(v, RESET_VIOL)))(
+            sols.al, sols.violation)
         bad = sols.violation > RESET_VIOL
         us_next = jnp.where(bad[:, None, None], us_reset, us_next)
         al_next = jax.tree.map(
@@ -1318,6 +1377,10 @@ def main():
     # converged at IPOPT-comparable practical feasibility (the round-1 target:
     # >=95% of windows at <=1e-2) + the tail percentile
     converged_fraction = float(np.mean(viol_np <= 1e-2))
+    # tighter gate, recorded since round 5: the feasibility knee's median
+    # violation (7.6e-5 at 3x16r) says the 1e-4 fraction is measurable —
+    # the reference's own gate is 1e-6 (reference config.py:23-50)
+    converged_fraction_1e4 = float(np.mean(viol_np <= 1e-4))
     p90_violation = float(np.nanpercentile(viol_np, 90))
     median_violation = float(np.nanpercentile(viol_np, 50))
     # scenarios whose plant has genuinely departed (the fleet supervisor
@@ -1353,6 +1416,7 @@ def main():
         "mean_violation": round(mean_viol, 6),
         "cold_window_mean_violation": round(cold_viol, 4),
         "converged_fraction_1e2": round(converged_fraction, 4),
+        "converged_fraction_1e4": round(converged_fraction_1e4, 4),
         "p90_violation": round(p90_violation, 6),
         "median_violation": round(median_violation, 6),
         "diverged_fraction": round(diverged_fraction, 4),
