@@ -110,6 +110,19 @@ def envelope_ineq(
             ]
         )
 
+    # resolved row parameters, attached for consumers that need the raw
+    # numbers rather than the closure (the fused window kernel mirrors
+    # these rows in batch-lanes layout — kernels/window_kernel.py)
+    ineq.resolved = {
+        "speed_bounds": (float(speed_bounds[0]), float(speed_bounds[1])),
+        "alpha_lim": alpha_lim,
+        "beta_lim": beta_lim,
+        "lo_scale": float(lo_scale),
+        "hi_scale": float(hi_scale),
+        "include_control_box": include_control_box,
+        "lb": np.asarray(lb, np.float32),
+        "ub": np.asarray(ub, np.float32),
+    }
     return ineq
 
 

@@ -77,6 +77,7 @@ def build_mhtt_ocp(
     stall_guard: tuple[float, float] = (2.0, 10.0),
     squash_box: bool = False,
     tail_damp: Optional[tuple[int, float]] = None,
+    spec_out: Optional[dict] = None,
 ) -> OCPFunctions:
     """OCP over the augmented state z = [x(13), s] (+ wind(3) when
     `wind_channels` — the MHE estimate rides constant state channels, so
@@ -258,6 +259,31 @@ def build_mhtt_ocp(
 
         lb, ub = config.control.bounds(7)
         built, _, _ = squash_controls(built, lb, ub)
+    if spec_out is not None:
+        # everything the fused batch-lanes window kernel needs to mirror
+        # this exact formulation (kernels/window_kernel.py) — filled from
+        # the RESOLVED values, not the caller's arguments, so the kernel
+        # and the jnp path can never silently diverge on defaults
+        spec_out.update(
+            params=params,
+            track_points=track_points,
+            track_length=L,
+            dt=dt,
+            substeps=substeps,
+            progress_correction=progress_correction,
+            track_dims=tuple(track_dims),
+            v_ref=v_ref,
+            w_speed=w_speed,
+            w_rate=w_rate,
+            alpha_guard_deg=alpha_guard_deg,
+            beta_guard_deg=beta_guard_deg,
+            stall_guard=tuple(stall_guard),
+            tail_damp=tail_damp,
+            wind_channels=wind_channels,
+            envelope=env.resolved,
+            squash_box=squash_box,
+            squash_bounds=(config.control.bounds(7) if squash_box else None),
+        )
     return built
 
 

@@ -31,6 +31,24 @@ class BatchSummary(NamedTuple):
     mean_iterations: jax.Array
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _run_sharded(ocp: OCPFunctions, x0s, us_inits, config: SolverConfig):
+    # module-level cached jit (ocp/config static, as ilqr.solve does):
+    # a per-call closure would re-trace the whole solve on every
+    # invocation, which breaks warm-timing loops (bench scaling mode)
+    sols = ilqr.solve_batch(ocp, x0s, us_inits, config)
+    summary = BatchSummary(
+        n_converged=jnp.sum(sols.converged),
+        mean_cost=jnp.mean(sols.cost),
+        max_violation=jnp.max(sols.violation),
+        mean_iterations=jnp.mean(sols.iterations.astype(jnp.float32)),
+    )
+    return sols, summary
+
+
 def solve_batch_sharded(
     ocp: OCPFunctions,
     x0s: jax.Array,
@@ -44,16 +62,4 @@ def solve_batch_sharded(
     statistics (XLA inserts the all-reduces)."""
     x0s = shard_batch(x0s, mesh)
     us_inits = shard_batch(us_inits, mesh)
-
-    @jax.jit
-    def run(x0s, us_inits):
-        sols = ilqr.solve_batch(ocp, x0s, us_inits, config)
-        summary = BatchSummary(
-            n_converged=jnp.sum(sols.converged),
-            mean_cost=jnp.mean(sols.cost),
-            max_violation=jnp.max(sols.violation),
-            mean_iterations=jnp.mean(sols.iterations.astype(jnp.float32)),
-        )
-        return sols, summary
-
-    return run(x0s, us_inits)
+    return _run_sharded(ocp, x0s, us_inits, config)
