@@ -112,17 +112,23 @@ def envelope_ineq(
 
     # resolved row parameters, attached for consumers that need the raw
     # numbers rather than the closure (the fused window kernel mirrors
-    # these rows in batch-lanes layout — kernels/window_kernel.py)
-    ineq.resolved = {
-        "speed_bounds": (float(speed_bounds[0]), float(speed_bounds[1])),
-        "alpha_lim": alpha_lim,
-        "beta_lim": beta_lim,
-        "lo_scale": float(lo_scale),
-        "hi_scale": float(hi_scale),
-        "include_control_box": include_control_box,
-        "lb": np.asarray(lb, np.float32),
-        "ub": np.asarray(ub, np.float32),
-    }
+    # these rows in batch-lanes layout — kernels/window_kernel.py).
+    # Best-effort: builders invoked under a trace (e.g. the waypoint OCP
+    # re-built per traced dt inside a candidate vmap) carry traced bounds
+    # that cannot be materialised — those callers never consume .resolved.
+    try:
+        ineq.resolved = {
+            "speed_bounds": (float(speed_bounds[0]), float(speed_bounds[1])),
+            "alpha_lim": alpha_lim,
+            "beta_lim": beta_lim,
+            "lo_scale": float(lo_scale),
+            "hi_scale": float(hi_scale),
+            "include_control_box": include_control_box,
+            "lb": np.asarray(lb, np.float32),
+            "ub": np.asarray(ub, np.float32),
+        }
+    except Exception:
+        ineq.resolved = None
     return ineq
 
 

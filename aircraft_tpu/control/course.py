@@ -277,4 +277,9 @@ def solve_full_course(
         "tolerance": tol,
         "speed_range": (float(speeds.min()), float(speeds.max())),
         "final_altitude": float(-states[-1, 2]),
+        # replan cadence (MHTT.run timing): window 0 carries compile
+        "first_window_wall_s": out.get("first_window_wall_s"),
+        "p50_window_wall_s": out.get("p50_window_wall_s"),
+        "p90_window_wall_s": out.get("p90_window_wall_s"),
+        "window_walls_s": out.get("window_walls_s"),
     }

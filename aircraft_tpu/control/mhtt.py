@@ -676,6 +676,14 @@ class MHTT:
         retries = 0
         abort_reason = None
         diagnosis = None
+        # per-window replan cadence (time between consecutive host-side
+        # commits) — the real-time accounting the course artifacts need
+        # (round-4 verdict #4/#6: a course wall number without per-window
+        # cadence + compile split is uninterpretable)
+        import time as _time
+        window_walls = []
+        t_loop0 = _time.time()
+        t_prev = t_loop0
         verbose_every = 1 if (isinstance(verbose, int) and verbose > 1) else 10
 
         al = self._al0
@@ -769,6 +777,9 @@ class MHTT:
             z, us, al = z_new, us_new, al_new
             s = float(s_next)
             windows += 1
+            t_now = _time.time()
+            window_walls.append(t_now - t_prev)
+            t_prev = t_now
 
         states = np.concatenate(
             [np.atleast_2d(committed_states[0])] + committed_states[1:], axis=0
@@ -784,4 +795,13 @@ class MHTT:
             "abort_reason": abort_reason,
             "diagnosis": diagnosis,
             "retries": retries,
+            # cadence fields: window 0 carries the (possibly multi-minute)
+            # compile through the remote tunnel; steady state is the rest
+            "window_walls_s": window_walls,
+            "first_window_wall_s": (window_walls[0] if window_walls
+                                    else None),
+            "p50_window_wall_s": (float(np.percentile(window_walls[1:], 50))
+                                  if len(window_walls) > 1 else None),
+            "p90_window_wall_s": (float(np.percentile(window_walls[1:], 90))
+                                  if len(window_walls) > 1 else None),
         }

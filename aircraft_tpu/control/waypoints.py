@@ -306,6 +306,7 @@ def solve_waypoint_racing(
     solver_config: Optional[SolverConfig] = None,
     warm_start: bool = True,
     warm_start_mode: str = "tracking",   # 'tracking' | 'receding'
+    report_out: Optional[dict] = None,
 ) -> ilqr.ILQRSolution:
     """End-to-end waypoint traversal solve (the reference's `WaypointControl`
     flow): Dubins-guided tracking warm start, then the complementarity OCP.
@@ -336,7 +337,7 @@ def solve_waypoint_racing(
         return _refine_free_time(
             params, config, sol_fixed, num_nodes=num_nodes, dt=dt,
             substeps=substeps, time_mode=time_mode, dt_bounds=dt_bounds,
-            solver_config=solver_config,
+            solver_config=solver_config, report_out=report_out,
         )
     ocp = build_waypoint_ocp(
         params, config, dt=dt, num_nodes=num_nodes, substeps=substeps,
@@ -450,6 +451,7 @@ def _refine_free_time(
     time_mode: str,
     dt_bounds: tuple[float, float],
     solver_config: Optional[SolverConfig],
+    report_out: Optional[dict] = None,
 ) -> ilqr.ILQRSolution:
     """Stage B of the free-time solve, in two sub-stages:
 
@@ -505,6 +507,25 @@ def _refine_free_time(
             best_u = int(i)
             break
 
+    if report_out is not None:
+        # per-probe outcomes so a caller (the ablation time rows, the
+        # committed probe-ladder artifact) can show WHAT the mode tried
+        # and why it returned the incumbent — a row that honestly probed
+        # and rejected must be distinguishable from a row that did nothing
+        # (round-4 verdict #5)
+        report_out["b0_ladder"] = [
+            {"scale": round(float(dts_u[i] / dt), 3),
+             "dt": round(float(dts_u[i]), 5),
+             "total_time_s": round(float(dts_u[i]) * num_nodes, 3),
+             "max_waypoint_miss_m": round(float(miss_u[i]), 2),
+             "rollout_defect": round(float(defects[i]), 5),
+             "finite": bool(fin_u[i]),
+             "feasible": bool(feas_u[i])}
+            for i in range(len(dts_u))
+        ]
+        report_out["b0_winner_scale"] = (
+            round(float(dts_u[best_u] / dt), 3) if best_u is not None else None)
+
     if best_u is not None and dts_u[best_u] < dt:
         dt_b = float(dts_u[best_u])
         us_b = jnp.asarray(sweep_np.us[best_u])
@@ -539,6 +560,17 @@ def _refine_free_time(
         (miss_r <= tol and (miss_i > tol or T_r <= T_i))
         or (miss_i > tol and miss_r <= miss_i)
     )
+    if report_out is not None:
+        report_out["b1"] = {
+            "mode": time_mode,
+            "trust_region_dt": [round(float(t), 5) for t in tr],
+            "refined_total_time_s": round(T_r, 3),
+            "refined_max_miss_m": round(miss_r, 2),
+            "incumbent_total_time_s": round(T_i, 3),
+            "incumbent_max_miss_m": round(miss_i, 2),
+            "finite": bool(fin_r),
+            "accepted": bool(accept),
+        }
     if accept:
         return sol
     # outer rejection: lift the B0 winner into the free-time variable space
@@ -701,6 +733,11 @@ def solve_time_optimal(
         "feasible": feasible,
         "dmins": dmins,
         "candidate_times": T,
+        # per-candidate diagnostics: WHY a candidate was rejected must be
+        # reconstructable (miss vs defect-gate vs non-finite) — consumed by
+        # the committed probe-ladder artifact (examples/glider_time_probe.py)
+        "candidate_dts": np.asarray(dts, np.float64),
+        "defects": defects,
     }
 
 

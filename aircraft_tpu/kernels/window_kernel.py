@@ -193,6 +193,13 @@ def n_residual_rows(ws: WindowSpec) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _take1(X, j, axis):
+    """X[..., j, ...] KEEPING the axis — explicit slice_in_dim: the
+    jnp fancy-index form `X[:, j, None, :]` (int mixed with None) lowers
+    to a >2D gather, which Mosaic rejects."""
+    return jax.lax.slice_in_dim(X, j, j + 1, axis=axis)
+
+
 def _mv(Mt, v):
     """out[a] = sum_b Mt[a, b] * v[b] for Mt (a, b, B), v (b, B)."""
     return jnp.sum(Mt * v[None, :, :], axis=1)
@@ -202,18 +209,18 @@ def _mm(X, Y):
     """out[a, c] = sum_b X[a, b] * Y[b, c]; X (a,b,B), Y (b,c,B).
     Unrolled accumulation — no (a,b,c,B) transient."""
     b_dim = X.shape[1]
-    acc = X[:, 0, None, :] * Y[None, 0, :, :]
+    acc = _take1(X, 0, 1) * _take1(Y, 0, 0)
     for b in range(1, b_dim):
-        acc = acc + X[:, b, None, :] * Y[None, b, :, :]
+        acc = acc + _take1(X, b, 1) * _take1(Y, b, 0)
     return acc
 
 
 def _mmT(X, YT):
     """out[a, c] = sum_b X[a, b] * YT[c, b]; X (a,b,B), YT (c,b,B)."""
     b_dim = X.shape[1]
-    acc = X[:, 0, None, :] * YT[None, :, 0, :]
+    acc = _take1(X, 0, 1) * jnp.swapaxes(_take1(YT, 0, 1), 0, 1)
     for b in range(1, b_dim):
-        acc = acc + X[:, b, None, :] * YT[None, :, b, :]
+        acc = acc + _take1(X, b, 1) * jnp.swapaxes(_take1(YT, b, 1), 0, 1)
     return acc
 
 
@@ -310,8 +317,11 @@ def _make_knot_fns(ws: WindowSpec, C: dict, mlp, table_vals):
         u = jnp.clip(s, 0.0, 1.0) * (Mpts - 1)
         i = jnp.clip(jnp.floor(u), 0.0, Mpts - 2.0)
         t = u - i
-        iota = jax.lax.broadcasted_iota(jnp.float32, (Mpts, s.shape[-1]), 0)
-        onehot = jnp.where(iota == i[None, :], 1.0, 0.0)
+        # integer iota (Mosaic tpu.iota only produces int vectors), integer
+        # compare — i is an exact small integer in f32, so the convert is
+        # lossless
+        iota = jax.lax.broadcasted_iota(jnp.int32, (Mpts, s.shape[-1]), 0)
+        onehot = jnp.where(iota == i.astype(jnp.int32)[None, :], 1.0, 0.0)
         # (12, M) @ (M, B) -> (12, B): rows [p0(3), p1(3), p2(3), p3(3)]
         # (table arrives pre-transposed — no in-kernel relayout)
         pts = jnp.dot(table_vals, onehot,
@@ -539,11 +549,13 @@ def make_backward_kernel(ws: WindowSpec, params: AircraftParams, table,
                     + drest[:, 0, :])                      # (NDIR, B)
             H = None
             for j in range(NR):
-                term = dr[:, j, None, :] * dr[None, :, j, :]
+                col = _take1(dr, j, 1)                      # (NDIR, 1, B)
+                term = col * jnp.swapaxes(col, 0, 1)
                 H = term if H is None else H + term
             for j in range(NGR):   # padded g rows are identically zero
-                term = (dg[:, j, None, :] * dg[None, :, j, :]
-                        * wgt[None, None, j, :])
+                col = _take1(dg, j, 1)
+                wrow = jnp.expand_dims(_take1(wgt, j, 0), 0)  # (1, 1, B)
+                term = col * jnp.swapaxes(col, 0, 1) * wrow
                 H = H + term                                # (NDIR, NDIR, B)
 
             lx = _sanitize(grad[:14], 1e8)

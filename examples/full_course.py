@@ -14,6 +14,11 @@ import os
 import sys
 import time
 
+# persistent compile cache (same default as bench.py): the course A/B
+# walls were 4.6x apart purely from cache state before this was recorded
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/aircraft_tpu_jax_cache")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
@@ -72,6 +77,11 @@ def main():
     runs = os.path.join(_REPO_ROOT, "data", "runs")
     os.makedirs(runs, exist_ok=True)
     backend = jax.default_backend()
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
+    try:
+        _cache_entries = len(os.listdir(cache_dir)) if cache_dir else 0
+    except OSError:
+        _cache_entries = 0
     report = {
         "experiment": "full_course",
         "device": str(jax.devices()[0]),
@@ -85,6 +95,18 @@ def main():
         "retries": out["retries"],
         "simulated_s": round(states.shape[0] * 0.05, 1),
         "wall_s": round(wall, 1),
+        # cadence decomposition (round-4 verdict #4/#6): the per-window
+        # replan budget is overlap-derived 0.5 s here (commit 10 x 0.05 s);
+        # window 0 pays the remote-tunnel compile, so comparing course
+        # walls without this split conflates cache state with speed
+        "first_window_wall_s": (round(out["first_window_wall_s"], 2)
+                                if out.get("first_window_wall_s") else None),
+        "p50_window_wall_s": (round(out["p50_window_wall_s"], 4)
+                              if out.get("p50_window_wall_s") else None),
+        "p90_window_wall_s": (round(out["p90_window_wall_s"], 4)
+                              if out.get("p90_window_wall_s") else None),
+        "commit_budget_s": 0.5,
+        "compile_cache_entries_at_start": _cache_entries,
         "speed_range_ms": [round(s, 1) for s in out["speed_range"]],
         "final_altitude_m": round(out["final_altitude"], 1),
     }
