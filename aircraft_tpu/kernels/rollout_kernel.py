@@ -70,6 +70,28 @@ def _asin(t):
     return _atan(t * jax.lax.rsqrt(1.0 - t * t))
 
 
+def _atan2(y, x):
+    """Quadrant-correct arctan2 for Pallas TPU.
+
+    The bare `_atan(y/x)` is only valid for x > 0 (forward relative flow).
+    That was fine for open-loop rollouts of healthy flight, but INSIDE the
+    window solver the line search visits reversed-flow candidate states
+    (u_rel < 0), where quadrant-blind alpha reads ~0 while the jnp path's
+    arctan2 reads ~±π — the fused solver then judged tumbling states
+    feasible and committed them (measured: ~10-20%% of fleet lanes
+    returned solutions whose alpha rows violated by ~2.7 rad under the
+    jnp evaluation while the kernel's own cost said they were clean)."""
+    ax = jnp.abs(x)
+    safe_x = jnp.where(ax > 1e-30, x,
+                       jnp.where(x >= 0.0, 1e-30, -1e-30))
+    base = _atan(y / safe_x)
+    corr = jnp.where(x < 0.0,
+                     jnp.where(y >= 0.0, np.float32(np.pi),
+                               np.float32(-np.pi)),
+                     0.0)
+    return base + corr
+
+
 def _build_constants(params: AircraftParams):
     """Extract plant constants as host floats/arrays (trace-time literals)."""
     cp: MLPCoeffParams = params.coeff
@@ -136,9 +158,10 @@ def _derivative_core(x, u, C, mlp):
 
     v2 = vr0 * vr0 + vr1 * vr1 + vr2 * vr2
     airspeed = jnp.sqrt(v2 + C["eps"])
-    # forward-flight quadrant (u_rel > 0) — valid across the alpha envelope;
-    # atan2/asin have no Pallas TPU lowering, so use the in-kernel atan
-    alpha = _atan(vr2 / (vr0 + C["eps"]))
+    # quadrant-correct alpha (jnp path parity: dynamics/aircraft.py:150
+    # uses arctan2) — reversed-flow states visited by solver line searches
+    # need the x<0 branch, see _atan2
+    alpha = _atan2(vr2, vr0 + C["eps"])
     beta = _asin(jnp.clip(vr1 / airspeed, -1.0, 1.0))
     qbar = 0.5 * RHO * v2
 
@@ -301,6 +324,67 @@ def make_fused_rollout(
     return rollout
 
 
+def fold_mlp_constants(params: AircraftParams):
+    """MLP weights with the input scaler folded into layer 0 and the output
+    scaler into layer 2 — the SMEM scalar-FMA form of the surrogate
+    (removes 22 tile-ops per evaluation; shared by the tiles rollout kernel
+    and the fused window kernels).  Returns
+    (w0f (5,16), b0f (16,), w1f (16,32), b1f (32,), w2f (32,6), b2f (6,))."""
+    _, weights = _build_constants(params)
+    (w0, b0, w1, b1, w2, b2, in_mean, in_std, out_mean, out_std) = weights
+    in_mean, in_std = in_mean[:, 0], in_std[:, 0]
+    out_mean, out_std = out_mean[:, 0], out_std[:, 0]
+    w0f = (w0 / in_std[:, None]).astype(np.float32)              # (5, 16)
+    b0f = (b0[0] - in_mean @ w0f).astype(np.float32)             # (16,)
+    w1f, b1f = w1.astype(np.float32), b1[0].astype(np.float32)   # (16,32),(32,)
+    w2f = (w2 * out_std[None, :]).astype(np.float32)             # (32, 6)
+    b2f = (b2[0] * out_std + out_mean).astype(np.float32)        # (6,)
+    return (w0f, b0f, w1f, b1f, w2f, b2f)
+
+
+def make_smem_mlp(w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref):
+    """Scalar-broadcast FMA surrogate evaluation from SMEM weight refs —
+    broadcasts over ANY trailing batch shape of its inputs (rows can be
+    (B,), (A, B), or tangent-batched (NDIR, ..., B)), which is what lets
+    the same closure serve the rollout-tiles kernel AND the linearized
+    window kernels (jax.linearize traces straight through the FMA chain;
+    no MXU dispatch per tiny dot)."""
+    n0 = b0_ref.shape[0]
+    n1 = b1_ref.shape[0]
+    n2 = b2_ref.shape[0]
+    ni = w0_ref.shape[0]
+    W0 = [[w0_ref[i, j] for j in range(n0)] for i in range(ni)]
+    B0 = [b0_ref[j] for j in range(n0)]
+    W1 = [[w1_ref[i, j] for j in range(n1)] for i in range(n0)]
+    B1 = [b1_ref[j] for j in range(n1)]
+    W2 = [[w2_ref[i, j] for j in range(n2)] for i in range(n1)]
+    B2 = [b2_ref[j] for j in range(n2)]
+
+    def mlp(qbar, alpha, beta, ail, elev):
+        inp = (qbar, alpha, beta, ail, elev)
+        h1 = []
+        for j in range(n0):
+            acc = inp[0] * W0[0][j] + B0[j]
+            for i in range(1, len(inp)):
+                acc = acc + inp[i] * W0[i][j]
+            h1.append(acc)
+        h2 = []
+        for j in range(n1):
+            acc = h1[0] * W1[0][j] + B1[j]
+            for i in range(1, n0):
+                acc = acc + h1[i] * W1[i][j]
+            h2.append(jnp.tanh(acc))
+        out = []
+        for j in range(n2):
+            acc = h2[0] * W2[0][j] + B2[j]
+            for i in range(1, n1):
+                acc = acc + h2[i] * W2[i][j]
+            out.append(acc)
+        return jnp.stack(out)   # (6, *batch)
+
+    return mlp
+
+
 def make_fused_rollout_tiles(
     params: AircraftParams,
     *,
@@ -329,17 +413,9 @@ def make_fused_rollout_tiles(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    C, weights = _build_constants(params)
-    (w0, b0, w1, b1, w2, b2, in_mean, in_std, out_mean, out_std) = weights
-    in_mean, in_std = in_mean[:, 0], in_std[:, 0]
-    out_mean, out_std = out_mean[:, 0], out_std[:, 0]
-    # fold the input scaler into layer 0 and the output scaler into layer 2
-    w0f = (w0 / in_std[:, None]).astype(np.float32)              # (5, 16)
-    b0f = (b0[0] - in_mean @ w0f).astype(np.float32)             # (16,)
-    w1f, b1f = w1.astype(np.float32), b1[0].astype(np.float32)   # (16,32),(32,)
-    w2f = (w2 * out_std[None, :]).astype(np.float32)             # (32, 6)
-    b2f = (b2[0] * out_std + out_mean).astype(np.float32)        # (6,)
-    smem_arrays = (w0f, b0f, w1f, b1f, w2f, b2f)
+    C, _ = _build_constants(params)
+    smem_arrays = fold_mlp_constants(params)
+    (w0f, b0f, w1f, b1f, w2f, b2f) = smem_arrays
 
     N = horizon
     dt_sub = dt / substeps

@@ -63,7 +63,12 @@ from aircraft_tpu.control.mhtt import (
     W_TRACKING,
 )
 from aircraft_tpu.dynamics.aircraft import AircraftParams
-from aircraft_tpu.kernels.rollout_kernel import _build_constants, _rk4_norm
+from aircraft_tpu.kernels.rollout_kernel import (
+    _build_constants,
+    _rk4_norm,
+    fold_mlp_constants,
+    make_smem_mlp,
+)
 
 LANES = 128
 XR = 16   # 14 augmented state rows [x(13), s] padded to two sublane tiles
@@ -342,7 +347,7 @@ def _make_knot_fns(ws: WindowSpec, C: dict, mlp, table_vals):
         """alpha/beta/v2 at the knot state — the aero_state slice the
         residual guards and envelope rows read (dynamics/aircraft.py:131-152
         in rows form; same math as _derivative_core's prologue)."""
-        from aircraft_tpu.kernels.rollout_kernel import _asin, _atan
+        from aircraft_tpu.kernels.rollout_kernel import _asin, _atan2
 
         v = x[3:6]
         qx, qy, qz, qw = x[6], x[7], x[8], x[9]
@@ -355,7 +360,9 @@ def _make_knot_fns(ws: WindowSpec, C: dict, mlp, table_vals):
         vr2 = v[2] + qw * tz + (ux * ty - uy * tx) + C["eps"]
         v2 = vr0 * vr0 + vr1 * vr1 + vr2 * vr2
         airspeed = jnp.sqrt(v2 + C["eps"])
-        alpha = _atan(vr2 / (vr0 + C["eps"]))
+        # quadrant-correct (solver line searches visit reversed-flow
+        # states; see rollout_kernel._atan2)
+        alpha = _atan2(vr2, vr0 + C["eps"])
         beta = _asin(jnp.clip(vr1 / airspeed, -1.0, 1.0))
         return alpha, beta, v2
 
@@ -485,7 +492,8 @@ def make_backward_kernel(ws: WindowSpec, params: AircraftParams, table,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    C, weights = _build_constants(params)
+    C, _ = _build_constants(params)
+    smem_w = fold_mlp_constants(params)
     N = ws.N
     NR = n_residual_rows(ws)
     NGR = n_ineq_rows(ws)
@@ -495,17 +503,10 @@ def make_backward_kernel(ws: WindowSpec, params: AircraftParams, table,
     def kernel(xs_ref, ws_ref, lam_ref, scal_ref, murow_ref, vxT_ref,
                vxxT_ref, table_ref, *rest):
         *w_refs, restfac_ref, K_ref, kff_ref, misc_ref = rest
-        w0, b0, w1, b1, w2, b2, in_mean, in_std, out_mean, out_std = (
-            r[:] for r in w_refs)
-
-        def mlp(qbar, alpha, beta, ail, elev):
-            inp = jnp.stack([qbar, alpha, beta, ail, elev])
-            h = (inp - in_mean) / in_std
-            h = jnp.dot(w0.T, h, preferred_element_type=jnp.float32) + b0.T
-            h = jnp.dot(w1.T, h, preferred_element_type=jnp.float32) + b1.T
-            h = jnp.tanh(h)
-            h = jnp.dot(w2.T, h, preferred_element_type=jnp.float32) + b2.T
-            return h * out_std + out_mean
+        # surrogate as SMEM scalar-FMA chains (no per-dot MXU dispatch;
+        # linearize traces straight through) — measured faster than the
+        # dot form exactly as in the tiles rollout kernel
+        mlp = make_smem_mlp(*w_refs)
 
         knot_outputs, _, _ = _make_knot_fns(ws, C, mlp, table_ref[:])
 
@@ -605,7 +606,9 @@ def make_backward_kernel(ws: WindowSpec, params: AircraftParams, table,
             dv1 = dv1 + jnp.sum(kff * Qu, axis=0)
             dv2 = dv2 + 0.5 * jnp.sum(kff * Quu_k, axis=0)
             qumax = jnp.maximum(qumax, qu_abs)
-            fail = fail | bad
+            # fail carried as f32 0/1: a BOOL vector in a fori_loop carry
+            # fails Mosaic legalization ('scf.for' legalize error)
+            fail = jnp.maximum(fail, bad.astype(jnp.float32))
 
             # store gains: K rows (UR, XR): K[c, i] = KT[i, c] — padded by
             # concatenation (in-kernel scatter has no Mosaic lowering)
@@ -622,11 +625,10 @@ def make_backward_kernel(ws: WindowSpec, params: AircraftParams, table,
         Vx0 = vxT_ref[0][:14]
         Vxx0 = vxxT_ref[0][:14, :14]
         zeros = jnp.zeros((B,), jnp.float32)
-        init = (Vx0, Vxx0, zeros, zeros, zeros, zeros.astype(bool))
+        init = (Vx0, Vxx0, zeros, zeros, zeros, zeros)
         _, _, dv1, dv2, qumax, fail = jax.lax.fori_loop(
             0, N, riccati_step, init)
-        misc_ref[0] = _pad_rows(
-            jnp.stack([dv1, dv2, qumax, fail.astype(jnp.float32)]), 8)
+        misc_ref[0] = _pad_rows(jnp.stack([dv1, dv2, qumax, fail]), 8)
 
     def backward(xs_t, ws_t, lam_t, scal_t, murow_t, vxT_t, vxxT_t,
                  restfac):
@@ -660,8 +662,8 @@ def make_backward_kernel(ws: WindowSpec, params: AircraftParams, table,
                              memory_space=vm),
             ] + [
                 pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd),
-                             memory_space=vm)
-                for w in weights
+                             memory_space=pltpu.SMEM)
+                for w in smem_w
             ] + [
                 pl.BlockSpec((N, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
@@ -674,9 +676,15 @@ def make_backward_kernel(ws: WindowSpec, params: AircraftParams, table,
                 pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                              memory_space=vm),
             ),
+            compiler_params=pltpu.CompilerParams(
+                # the gain block + linearize/JtJ transients exceed the
+                # default 16M scoped-vmem budget; raise toward the part's
+                # physical VMEM
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(xs_t, ws_t, lam_t, scal_t, murow_t, vxT_t, vxxT_t,
-          jnp.asarray(tableT), *[jnp.asarray(w) for w in weights],
+          jnp.asarray(tableT), *[jnp.asarray(w) for w in smem_w],
           jnp.asarray(restfac))
         return out
 
@@ -695,7 +703,8 @@ def make_forward_kernel(ws: WindowSpec, params: AircraftParams, table,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    C, weights = _build_constants(params)
+    C, _ = _build_constants(params)
+    smem_w = fold_mlp_constants(params)
     N = ws.N
     A = len(alphas)
     assert A + 3 <= 16
@@ -705,17 +714,7 @@ def make_forward_kernel(ws: WindowSpec, params: AircraftParams, table,
     def kernel(xs_ref, ws_ref, K_ref, kff_ref, lam_ref, scal_ref,
                murow_ref, table_ref, *rest):
         *w_refs, restfac_ref, xso_ref, wso_ref, misc_ref = rest
-        w0, b0, w1, b1, w2, b2, in_mean, in_std, out_mean, out_std = (
-            r[:] for r in w_refs)
-
-        def mlp(qbar, alpha, beta, ail, elev):
-            inp = jnp.stack([qbar, alpha, beta, ail, elev])
-            h = (inp - in_mean) / in_std
-            h = jnp.dot(w0.T, h, preferred_element_type=jnp.float32) + b0.T
-            h = jnp.dot(w1.T, h, preferred_element_type=jnp.float32) + b1.T
-            h = jnp.tanh(h)
-            h = jnp.dot(w2.T, h, preferred_element_type=jnp.float32) + b2.T
-            return h * out_std + out_mean
+        mlp = make_smem_mlp(*w_refs)
 
         _, al_cost, terminal_cost = _make_knot_fns(ws, C, mlp, table_ref[:])
 
@@ -807,8 +806,8 @@ def make_forward_kernel(ws: WindowSpec, params: AircraftParams, table,
                              memory_space=vm),
             ] + [
                 pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd),
-                             memory_space=vm)
-                for w in weights
+                             memory_space=pltpu.SMEM)
+                for w in smem_w
             ] + [
                 pl.BlockSpec((N, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
@@ -821,9 +820,12 @@ def make_forward_kernel(ws: WindowSpec, params: AircraftParams, table,
                 pl.BlockSpec((1, 16, LANES), lambda i: (i, 0, 0),
                              memory_space=vm),
             ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(xs_t, ws_t, K_t, kff_t, lam_t, scal_t, murow_t,
-          jnp.asarray(tableT), *[jnp.asarray(w) for w in weights],
+          jnp.asarray(tableT), *[jnp.asarray(w) for w in smem_w],
           jnp.asarray(restfac))
         return out
 

@@ -1378,6 +1378,11 @@ def main():
         # per-row penalty ratchet (solvers/ocp.ALState.mu_row), carried
         # across windows by the dual carry — opt-in A/B via BENCH_ROWPEN=1
         penalty_per_row=os.environ.get("BENCH_ROWPEN", "0") == "1",
+        # BENCH_RESGN=1 forces the residual J^T J curvature on the jnp path
+        # (the form the fused kernels compute) — the A/B that separates
+        # "kernel bug" from "curvature form" on quality deltas
+        use_residual_gn=(True if os.environ.get("BENCH_RESGN") == "1"
+                         else None),
     )
 
     if os.environ.get("BENCH_RAW"):
