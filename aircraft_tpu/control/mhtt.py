@@ -312,6 +312,7 @@ class MHTT:
         stall_guard: tuple[float, float] = (2.0, 10.0),
         dual_carry: bool = True,
         carry_gate: float = 10.0,
+        fused: Optional[bool] = None,
     ):
         if v_ref is None:
             v_ref = float(config.waypoints.default_velocity)
@@ -339,6 +340,7 @@ class MHTT:
             max_al_iters=2, max_inner_iters=12, hessian="gauss_newton",
             reg_escalate=100.0,
         )
+        self._spec = {}
         self.ocp = build_mhtt_ocp(
             params, config, track.track_points, track.length(), dt=dt,
             substeps=substeps, track_dims=track_dims,
@@ -348,7 +350,25 @@ class MHTT:
             envelope_overrides=envelope_overrides,
             progress_correction=progress_correction,
             stall_guard=stall_guard,
+            spec_out=self._spec,
         )
+        # fused batch-lanes window kernels (kernels/window_kernel.py) are
+        # the TPU default since round 5 — measured 4.5-5.6x the jnp path
+        # on the bench fleet at identical solution quality; batch-1 serving
+        # and candidate windows pad to the 128-lane tile (the chip is
+        # underutilised there regardless).  `fused=False` keeps the jnp
+        # path; on CPU the jnp path stays the default (interpret-mode
+        # kernels are test-only).
+        if fused is None:
+            fused = jax.default_backend() == "tpu"
+        self.fused = bool(fused)
+        if self.fused:
+            from aircraft_tpu.solvers.fused import make_fused_solver
+
+            self._fused_solve = make_fused_solver(
+                self.ocp, self._spec, num_nodes, self.solver_config)
+        else:
+            self._fused_solve = None
         self.dual_carry = dual_carry
         # the transient gate on the dual carry (ocp.shift_al_state decay):
         # a window whose violation exceeds `carry_gate` hands COLD duals to
@@ -360,10 +380,14 @@ class MHTT:
         self._solve = jax.jit(
             lambda z0, us: ilqr.solve(self.ocp, z0, us, self.solver_config)
         )
-        self._solve_batch = jax.jit(
-            lambda z0s, uss, als=None: ilqr.solve_batch(
-                self.ocp, z0s, uss, self.solver_config, al_inits=als)
-        )
+        if self.fused:
+            self._solve_batch = jax.jit(
+                lambda z0s, uss, als=None: self._fused_solve(z0s, uss, als))
+        else:
+            self._solve_batch = jax.jit(
+                lambda z0s, uss, als=None: ilqr.solve_batch(
+                    self.ocp, z0s, uss, self.solver_config, al_inits=als)
+            )
 
         def _gated_decay(violation):
             # shared implementation (solvers/ocp.gated_decay) — the bench
@@ -389,8 +413,15 @@ class MHTT:
             # on v5e, BENCH_MODE=serve); the warm-start carry (z, us, AL
             # duals) never leaves the device either way.
             c = self.commit
-            sol = ilqr.solve_impl(self.ocp, z0, us, self.solver_config,
-                                  al_init=al if self.dual_carry else None)
+            if self.fused:
+                sol1 = self._fused_solve(
+                    z0[None], us[None],
+                    (jax.tree.map(lambda t: t[None], al)
+                     if self.dual_carry else None))
+                sol = jax.tree.map(lambda t: t[0], sol1)
+            else:
+                sol = ilqr.solve_impl(self.ocp, z0, us, self.solver_config,
+                                      al_init=al if self.dual_carry else None)
             z_next = sol.xs[c]
             us_next = jnp.concatenate(
                 [sol.us[c:], jnp.tile(sol.us[-1:], (c, 1))], axis=0)
@@ -442,11 +473,14 @@ class MHTT:
                 al_stack = jax.tree.map(
                     lambda a, b: jnp.stack([a, b, a, a, a, a][:nc]),
                     al, self._al0)
-                sols = ilqr.solve_batch(self.ocp, z_stack, us_stack,
-                                        self.solver_config, al_inits=al_stack)
+            else:
+                al_stack = None
+            if self.fused:
+                sols = self._fused_solve(z_stack, us_stack, al_stack)
             else:
                 sols = ilqr.solve_batch(self.ocp, z_stack, us_stack,
-                                        self.solver_config)
+                                        self.solver_config,
+                                        al_inits=al_stack)
             finite = jax.vmap(
                 lambda xs: jnp.all(jnp.isfinite(xs))
             )(sols.xs).astype(jnp.float32)
