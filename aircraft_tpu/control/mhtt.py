@@ -360,7 +360,11 @@ class MHTT:
         # path; on CPU the jnp path stays the default (interpret-mode
         # kernels are test-only).
         if fused is None:
-            fused = jax.default_backend() == "tpu"
+            from aircraft_tpu.kernels.rollout_kernel import (
+                kernel_coeff_supported)
+
+            fused = (jax.default_backend() == "tpu"
+                     and kernel_coeff_supported(params))
         self.fused = bool(fused)
         if self.fused:
             from aircraft_tpu.solvers.fused import make_fused_solver

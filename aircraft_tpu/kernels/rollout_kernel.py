@@ -92,10 +92,22 @@ def _atan2(y, x):
     return base + corr
 
 
+def kernel_coeff_supported(params: AircraftParams) -> bool:
+    """Which coefficient models the Pallas kernels implement in-kernel:
+    the MLP surrogate (SMEM FMA chains) and the reference's hard-coded
+    default linear aero (closed form).  Linear/poly/taylor stay on the
+    jnp path."""
+    from aircraft_tpu.dynamics.coefficients import DefaultCoeffParams
+
+    return isinstance(params.coeff, (MLPCoeffParams, DefaultCoeffParams))
+
+
 def _build_constants(params: AircraftParams):
-    """Extract plant constants as host floats/arrays (trace-time literals)."""
-    cp: MLPCoeffParams = params.coeff
-    assert isinstance(cp, MLPCoeffParams), "kernel supports the MLP aero model"
+    """Extract plant constants as host floats/arrays (trace-time literals).
+    Returns (scalars, mlp_weights_or_None)."""
+    cp = params.coeff
+    assert kernel_coeff_supported(params), (
+        "kernels support the MLP and default aero models")
     com = np.asarray(params.com, np.float32)
     J = np.asarray(
         dyn_base.inertia_about_com(params.static_inertia, params.mass, params.com),
@@ -116,6 +128,8 @@ def _build_constants(params: AircraftParams):
         "Jinv": tuple(tuple(float(v) for v in row) for row in Jinv),
         "Cn_rudder": float(cp.Cn_rudder),
     }
+    if not isinstance(cp, MLPCoeffParams):
+        return scalars, None
     # MLP tensors must be pallas_call INPUTS (captured array constants are
     # rejected); biases/scalers shaped 2-D for TPU layout
     weights = (
@@ -133,15 +147,16 @@ def _build_constants(params: AircraftParams):
     return scalars, weights
 
 
-def _derivative_core(x, u, C, mlp):
+def _derivative_core(x, u, C, coeff6):
     """ẋ for state block x (R, …, B) and control block u (·, …, B); returns
     the same leading-R block with padding rows zero.  Mirrors
     dynamics/aircraft.py state_derivative in explicit row form; every op
     broadcasts over whatever batch dims follow the leading row axis, so the
     same code serves the lanes layout (rows = (128,) vectors) and the tiles
-    layout (rows = (G, 128) full tiles).  `mlp(qbar, alpha, beta, ail,
-    elev) -> 6 coefficient rows` abstracts the surrogate contraction, which
-    is the only layout-specific op."""
+    layout (rows = (G, 128) full tiles).  `coeff6(qbar, alpha, beta, ail,
+    elev, rud, rates) -> 6 coefficient rows` abstracts the coefficient
+    model (MLP contraction or the default closed form) — the only
+    model-specific op; it includes the rudder yaw increment."""
     v = x[3:6]
     qx, qy, qz, qw = x[6], x[7], x[8], x[9]
     wx, wy, wz = x[10], x[11], x[12]
@@ -165,8 +180,8 @@ def _derivative_core(x, u, C, mlp):
     beta = _asin(jnp.clip(vr1 / airspeed, -1.0, 1.0))
     qbar = 0.5 * RHO * v2
 
-    coeff = mlp(qbar, alpha, beta, ail, elev)
-    cn = coeff[5] + C["Cn_rudder"] * 6.0 * rud * DEG2RAD
+    coeff = coeff6(qbar, alpha, beta, ail, elev, rud, (wx, wy, wz))
+    cn = coeff[5]
     c0 = coeff[0] + C_D_FLAPS * flaps
     c2 = coeff[2] + C_Z_FLAPS * flaps
 
@@ -219,11 +234,11 @@ def _derivative_core(x, u, C, mlp):
     return jnp.stack(rows)
 
 
-def _rk4_norm(x, u, dt_sub, C, mlp):
-    k1 = _derivative_core(x, u, C, mlp)
-    k2 = _derivative_core(x + 0.5 * dt_sub * k1, u, C, mlp)
-    k3 = _derivative_core(x + 0.5 * dt_sub * k2, u, C, mlp)
-    k4 = _derivative_core(x + dt_sub * k3, u, C, mlp)
+def _rk4_norm(x, u, dt_sub, C, coeff6):
+    k1 = _derivative_core(x, u, C, coeff6)
+    k2 = _derivative_core(x + 0.5 * dt_sub * k1, u, C, coeff6)
+    k3 = _derivative_core(x + 0.5 * dt_sub * k2, u, C, coeff6)
+    k4 = _derivative_core(x + dt_sub * k3, u, C, coeff6)
     x = x + (dt_sub / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
     # renormalise the quaternion rows (scatter has no Mosaic lowering —
     # rebuild the block by row-wise scaling instead)
@@ -253,6 +268,7 @@ def make_fused_rollout(
     from jax.experimental.pallas import tpu as pltpu
 
     C, weights = _build_constants(params)
+    assert weights is not None, "fused rollout kernels require the MLP model"
     N = horizon
     dt_sub = dt / substeps
 
@@ -272,6 +288,8 @@ def make_fused_rollout(
             h = jnp.dot(w2.T, h, preferred_element_type=jnp.float32) + b2.T
             return h * out_std + out_mean  # (6, B)
 
+        coeff6 = wrap_mlp_coeff(mlp, C["Cn_rudder"])
+
         # refs carry the leading (1,)-block axis of the grid tiling
         x = x0_ref[0]  # (16, 128)
         out_ref[0, 0] = x
@@ -279,7 +297,7 @@ def make_fused_rollout(
         def body(k, x):
             u = us_ref[0, k]  # (8, 128)
             for _ in range(substeps):
-                x = _rk4_norm(x, u, dt_sub, C, mlp)
+                x = _rk4_norm(x, u, dt_sub, C, coeff6)
             out_ref[0, pl.ds(k + 1, 1)] = x[None]
             return x
 
@@ -340,6 +358,34 @@ def fold_mlp_constants(params: AircraftParams):
     w2f = (w2 * out_std[None, :]).astype(np.float32)             # (32, 6)
     b2f = (b2[0] * out_std + out_mean).astype(np.float32)        # (6,)
     return (w0f, b0f, w1f, b1f, w2f, b2f)
+
+
+def wrap_mlp_coeff(mlp5, Cn_rudder: float):
+    """Adapt a 5-input MLP closure to the coeff6 interface (adds the
+    reference's rudder yaw increment, dynamics/coefficients.py:314)."""
+    def coeff6(qbar, alpha, beta, ail, elev, rud, rates):
+        out = mlp5(qbar, alpha, beta, ail, elev)
+        cn = out[5] + Cn_rudder * 6.0 * rud * DEG2RAD
+        return jnp.concatenate([out[:5], cn[None]], axis=0)
+
+    return coeff6
+
+
+def make_default_coeff(cp):
+    """The reference's hard-coded linear aero as a coeff6 closure
+    (dynamics/coefficients.py _apply_default; reference
+    coefficient_models.py:41-78) — closed form, no kernel inputs."""
+    def coeff6(qbar, alpha, beta, ail, elev, rud, rates):
+        p, q, r = rates
+        CD = cp.CD0 + cp.CD_alpha * alpha * alpha
+        CL = cp.CL0 + cp.CL_alpha * alpha
+        CY = cp.CY_beta * beta
+        Cl = cp.Cl_aileron * 4.0 * ail * DEG2RAD + cp.Cl_p * p
+        Cm = cp.Cm_elevator * 5.0 * elev * DEG2RAD + cp.Cm_q * q
+        Cn = cp.Cn_rudder * 6.0 * rud * DEG2RAD + cp.Cn_r * r
+        return jnp.stack([-CD, CY, -CL, Cl, Cm, Cn])
+
+    return coeff6
 
 
 def make_smem_mlp(w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref):
@@ -413,7 +459,8 @@ def make_fused_rollout_tiles(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    C, _ = _build_constants(params)
+    C, _w = _build_constants(params)
+    assert _w is not None, "fused rollout kernels require the MLP model"
     smem_arrays = fold_mlp_constants(params)
     (w0f, b0f, w1f, b1f, w2f, b2f) = smem_arrays
 
@@ -456,13 +503,16 @@ def make_fused_rollout_tiles(
                 out.append(acc)
             return jnp.stack(out)  # (6, G, 128)
 
+        coeff6 = wrap_mlp_coeff(mlp, C["Cn_rudder"])
+
         x = x0_ref[0]  # (13, G, 128)
         out_ref[0, 0] = x
 
         def body(k, x):
             u = us_ref[0, k]  # (7, G, 128)
             x = jax.lax.fori_loop(
-                0, substeps, lambda s, x: _rk4_norm(x, u, dt_sub, C, mlp), x
+                0, substeps,
+                lambda s, x: _rk4_norm(x, u, dt_sub, C, coeff6), x
             )
             out_ref[0, pl.ds(k + 1, 1)] = x[None]
             return x

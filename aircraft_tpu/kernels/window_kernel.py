@@ -63,11 +63,15 @@ from aircraft_tpu.control.mhtt import (
     W_TRACKING,
 )
 from aircraft_tpu.dynamics.aircraft import AircraftParams
+from aircraft_tpu.dynamics.coefficients import MLPCoeffParams
 from aircraft_tpu.kernels.rollout_kernel import (
     _build_constants,
     _rk4_norm,
     fold_mlp_constants,
+    kernel_coeff_supported,
+    make_default_coeff,
     make_smem_mlp,
+    wrap_mlp_coeff,
 )
 
 LANES = 128
@@ -493,7 +497,8 @@ def make_backward_kernel(ws: WindowSpec, params: AircraftParams, table,
     from jax.experimental.pallas import tpu as pltpu
 
     C, _ = _build_constants(params)
-    smem_w = fold_mlp_constants(params)
+    is_mlp = isinstance(params.coeff, MLPCoeffParams)
+    smem_w = fold_mlp_constants(params) if is_mlp else ()
     N = ws.N
     NR = n_residual_rows(ws)
     NGR = n_ineq_rows(ws)
@@ -503,12 +508,13 @@ def make_backward_kernel(ws: WindowSpec, params: AircraftParams, table,
     def kernel(xs_ref, ws_ref, lam_ref, scal_ref, murow_ref, vxT_ref,
                vxxT_ref, table_ref, *rest):
         *w_refs, restfac_ref, K_ref, kff_ref, misc_ref = rest
-        # surrogate as SMEM scalar-FMA chains (no per-dot MXU dispatch;
-        # linearize traces straight through) — measured faster than the
-        # dot form exactly as in the tiles rollout kernel
-        mlp = make_smem_mlp(*w_refs)
+        # coefficient model: MLP as SMEM scalar-FMA chains (no per-dot MXU
+        # dispatch; linearize traces straight through), or the default
+        # model's closed form (the course's plant)
+        coeff6 = (wrap_mlp_coeff(make_smem_mlp(*w_refs), C["Cn_rudder"])
+                  if is_mlp else make_default_coeff(params.coeff))
 
-        knot_outputs, _, _ = _make_knot_fns(ws, C, mlp, table_ref[:])
+        knot_outputs, _, _ = _make_knot_fns(ws, C, coeff6, table_ref[:])
 
         mu = scal_ref[0, 0]        # (L,)
         reg = scal_ref[0, 1]
@@ -704,7 +710,8 @@ def make_forward_kernel(ws: WindowSpec, params: AircraftParams, table,
     from jax.experimental.pallas import tpu as pltpu
 
     C, _ = _build_constants(params)
-    smem_w = fold_mlp_constants(params)
+    is_mlp = isinstance(params.coeff, MLPCoeffParams)
+    smem_w = fold_mlp_constants(params) if is_mlp else ()
     N = ws.N
     A = len(alphas)
     assert A + 3 <= 16
@@ -714,9 +721,10 @@ def make_forward_kernel(ws: WindowSpec, params: AircraftParams, table,
     def kernel(xs_ref, ws_ref, K_ref, kff_ref, lam_ref, scal_ref,
                murow_ref, table_ref, *rest):
         *w_refs, restfac_ref, xso_ref, wso_ref, misc_ref = rest
-        mlp = make_smem_mlp(*w_refs)
+        coeff6 = (wrap_mlp_coeff(make_smem_mlp(*w_refs), C["Cn_rudder"])
+                  if is_mlp else make_default_coeff(params.coeff))
 
-        _, al_cost, terminal_cost = _make_knot_fns(ws, C, mlp, table_ref[:])
+        _, al_cost, terminal_cost = _make_knot_fns(ws, C, coeff6, table_ref[:])
 
         mu = scal_ref[0, 0]
         mu_row = murow_ref[0]

@@ -703,9 +703,12 @@ def bench_serve():
     RESET_VIOL = float(os.environ.get(
         "BENCH_RESET_VIOL", "5.0" if scaled_rows else "10.0"))
 
-    FUSED = (os.environ.get("BENCH_FUSED",
-                            "1" if jax.default_backend() == "tpu" else "0")
-             == "1")
+    from aircraft_tpu.kernels.rollout_kernel import kernel_coeff_supported
+
+    FUSED = (os.environ.get(
+        "BENCH_FUSED",
+        "1" if (jax.default_backend() == "tpu"
+                and kernel_coeff_supported(params)) else "0") == "1")
     if FUSED:
         from aircraft_tpu.solvers.fused import make_fused_solver
 
@@ -1483,10 +1486,14 @@ def main():
     # wall in padded small-op inner iterations)
     # fused kernels are the TPU default since round 5 (4.5-5.6x measured);
     # BENCH_FUSED=0 keeps the jnp path as the A/B.  CPU runs keep the jnp
-    # path (the kernels would need Pallas interpret mode there).
-    FUSED = (os.environ.get("BENCH_FUSED",
-                            "1" if jax.default_backend() == "tpu" else "0")
-             == "1")
+    # path (the kernels would need Pallas interpret mode there), and
+    # coefficient models the kernels don't implement (taylor) fall back.
+    from aircraft_tpu.kernels.rollout_kernel import kernel_coeff_supported
+
+    FUSED = (os.environ.get(
+        "BENCH_FUSED",
+        "1" if (jax.default_backend() == "tpu"
+                and kernel_coeff_supported(params)) else "0") == "1")
     if FUSED:
         from aircraft_tpu.solvers.fused import make_fused_solver
 
