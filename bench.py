@@ -246,19 +246,36 @@ def bench_latency():
     real-time budget (reference main/mhe/mhtt.py:62,77)."""
     cfg, params, ocp, _track, _vref, _spec = _build_problem()
     solver_cfg = SolverConfig(
-        max_al_iters=int(os.environ.get("BENCH_AL", "2")),
-        max_inner_iters=int(os.environ.get("BENCH_INNER", "6")),
+        # knee budget by default since round 5 — the latency headline is a
+        # single-aircraft replan at IPOPT-grade practical feasibility
+        max_al_iters=int(os.environ.get("BENCH_AL", "3")),
+        max_inner_iters=int(os.environ.get("BENCH_INNER", "16")),
         line_search_steps=int(os.environ.get("BENCH_LS", "6")),
         hessian="gauss_newton",
         reg_escalate=float(os.environ.get("BENCH_ESC", "100")),
         scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
+        penalty_per_row=os.environ.get("BENCH_ROWPEN", "1") == "1",
         # at batch=1 the backward sweep is depth-bound, so the O(log N)
         # associative Riccati is a live A/B candidate here
         riccati=os.environ.get("BENCH_RICCATI", "sequential"),
     )
     x0 = _bench_initial_states(cfg, 1)[0]
     us0 = jnp.zeros((N_HORIZON, 7), dtype=jnp.float32)
-    solve = jax.jit(lambda z0, uss: ilqr.solve_impl(ocp, z0, uss, solver_cfg))
+    from aircraft_tpu.kernels.rollout_kernel import kernel_coeff_supported
+
+    FUSED = (os.environ.get(
+        "BENCH_FUSED",
+        "1" if (jax.default_backend() == "tpu"
+                and kernel_coeff_supported(params)) else "0") == "1")
+    if FUSED:
+        from aircraft_tpu.solvers.fused import make_fused_solver
+
+        fused_solve = make_fused_solver(ocp, _spec, N_HORIZON, solver_cfg)
+        solve = jax.jit(lambda z0, uss: jax.tree.map(
+            lambda t: t[0], fused_solve(z0[None], uss[None])))
+    else:
+        solve = jax.jit(
+            lambda z0, uss: ilqr.solve_impl(ocp, z0, uss, solver_cfg))
 
     t0 = time.time()
     sol = solve(x0, us0)
@@ -282,9 +299,12 @@ def bench_latency():
         "vs_baseline": round(budget / p50, 2),  # x headroom inside budget
         "p90_ms": round(p90 * 1e3, 3),
         "reps": reps,
+        "fused_kernels": FUSED,
+        "al_iters": solver_cfg.max_al_iters,
+        "inner_iters": solver_cfg.max_inner_iters,
         "compile_wall_s": round(compile_wall, 1),
         "cost": round(float(sol.cost), 1),
-        "violation": round(float(sol.violation), 3),
+        "violation": round(float(sol.violation), 6),
         "device": str(jax.devices()[0]),
     }))
 
@@ -1383,15 +1403,16 @@ def main():
 
     solver_cfg = SolverConfig(
         # ROUND-5 DEFAULT: the FEASIBILITY KNEE is the headline operating
-        # point (round-4 verdict #2) — 3 AL x 16 inner with the per-row
-        # ratchet reaches IPOPT-grade practical feasibility (measured on
-        # v5e with the fused kernels: 924 solves/s at converged_1e2 0.992,
-        # median violation 1.1e-4), so the headline no longer counts
-        # solves the reference would refuse to commit.  The old throughput
-        # knee (2x6) remains one env var away (BENCH_AL=2 BENCH_INNER=6
-        # BENCH_ROWPEN=0) and is still reported as an A/B artifact.
+        # point (round-4 verdict #2) — 3 AL x 12 inner with the per-row
+        # ratchet is the measured knee of the fused operating-point curve
+        # (data/runs/operating_points.json: 1194.8 solves/s at
+        # converged_1e2 0.973, median violation 6.3e-5, converged_1e4
+        # 0.59), so the headline no longer counts solves the reference
+        # would refuse to commit.  The old throughput knee (2x6) remains
+        # one env var away (BENCH_AL=2 BENCH_INNER=6 BENCH_ROWPEN=0) and
+        # is still reported as an A/B artifact.
         max_al_iters=int(os.environ.get("BENCH_AL", "3")),
-        max_inner_iters=int(os.environ.get("BENCH_INNER", "16")),
+        max_inner_iters=int(os.environ.get("BENCH_INNER", "12")),
         # 6 line-search candidates is the measured knee on v5e: 680/s at
         # mean cost 771 vs 606/s at 776 with 12 candidates (the forward
         # pass vmaps all candidates, so cost is linear in the count);
