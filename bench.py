@@ -249,7 +249,7 @@ def bench_latency():
         # knee budget by default since round 5 — the latency headline is a
         # single-aircraft replan at IPOPT-grade practical feasibility
         max_al_iters=int(os.environ.get("BENCH_AL", "3")),
-        max_inner_iters=int(os.environ.get("BENCH_INNER", "16")),
+        max_inner_iters=int(os.environ.get("BENCH_INNER", "12")),
         line_search_steps=int(os.environ.get("BENCH_LS", "6")),
         hessian="gauss_newton",
         reg_escalate=float(os.environ.get("BENCH_ESC", "100")),
@@ -259,8 +259,17 @@ def bench_latency():
         # associative Riccati is a live A/B candidate here
         riccati=os.environ.get("BENCH_RICCATI", "sequential"),
     )
-    x0 = _bench_initial_states(cfg, 1)[0]
-    us0 = jnp.zeros((N_HORIZON, 7), dtype=jnp.float32)
+    # a healthy on-track serving state + trim warm start (what a deployed
+    # replanner actually solves; the raw course-entry state against the
+    # altitude-anchored track is a 200 m tracking-error outlier whose
+    # quality fields say nothing about steady serving)
+    zs, _trim = _bench_fleet_states(cfg, params, _track, 1, _vref,
+                                    s_span=(0.1, 0.1))
+    x0 = zs[0]
+    u_trim = jnp.asarray(_trim.control, jnp.float32)[:7]
+    if ocp.control_unsquash is not None:
+        u_trim = ocp.control_unsquash(u_trim)
+    us0 = jnp.tile(u_trim[None, :], (N_HORIZON, 1))
     from aircraft_tpu.kernels.rollout_kernel import kernel_coeff_supported
 
     FUSED = (os.environ.get(
