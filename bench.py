@@ -1669,6 +1669,12 @@ def main():
         "device": str(jax.devices()[0]),
     }
     out["fused_kernels"] = FUSED
+    if SCAN_W > 1:
+        out["scan_note"] = (
+            "scan-of-windows protocol: per-dispatch overhead amortises "
+            "over the chained windows, but long scan chains drift the "
+            "fleet off its steady-state stations (r04 caveat) — the "
+            "per-window-dispatch artifact is the like-for-like headline")
     if os.environ.get("BENCH_RAW") and chained:
         # round-4 verdict #7 root cause (reproduced on CPU, batch 16):
         # r01/r02 raw numbers repeated the COLD window (pre-chain
@@ -1687,7 +1693,9 @@ def main():
     tag = "raw" if os.environ.get("BENCH_RAW") else (
         f"{solver_cfg.max_al_iters}x{solver_cfg.max_inner_iters}"
         + ("_rowpen" if solver_cfg.penalty_per_row else "")
-        + ("_fused" if FUSED else ""))
+        + ("_fused" if FUSED else "")
+        + (f"_scan{SCAN_W}" if SCAN_W > 1 else "")
+        + (f"_b{BATCH}" if BATCH != 256 else ""))
     _write_run_artifact(out, f"bench_headline_{tag}")
     print(json.dumps(out))
 
