@@ -123,6 +123,15 @@ COURSE_OCP_KNOBS = dict(
 )
 
 
+def _course_uses_fused(params) -> bool:
+    """Mirrors MHTT's fused auto-gate (control/mhtt.py) so the course's
+    inner-budget default matches the solver path that will actually run."""
+    from aircraft_tpu.kernels.rollout_kernel import kernel_coeff_supported
+
+    return (jax.default_backend() == "tpu"
+            and kernel_coeff_supported(params))
+
+
 def solve_full_course(
     config: TrajectoryConfig,
     params: Optional[AircraftParams] = None,
@@ -190,14 +199,18 @@ def solve_full_course(
         **{**COURSE_OCP_KNOBS,
            "progress_correction": progress_correction,
            "stall_guard": stall_guard},
-        # inner budget: 20 suffices on CPU; on TPU the turnaround windows
-        # need 30 (measured on v5e: the course aborts at window ~86 with
-        # 20 and completes with 30 — the marginal windows take more
-        # re-damped steps to reach the good basin under TPU numerics)
+        # inner budget: 20 suffices on CPU; on the TPU JNP PATH the
+        # turnaround windows need 30 (measured on v5e round 1: aborts at
+        # window ~86 with 20, completes with 30).  The FUSED kernels fly
+        # the course at 20 — and strictly TIGHTER (v5e round 5: misses
+        # 0.27/0.45/0.48/0.48 m at p50 0.231 s/window vs 0.25/3.52/4.48/
+        # 0.86 m at 0.345 s with 30) — so the fused default is 20.
         solver_config=solver_config
         or SolverConfig(
             max_al_iters=4,
-            max_inner_iters=30 if jax.default_backend() == "tpu" else 20,
+            max_inner_iters=(
+                20 if _course_uses_fused(params)
+                else (30 if jax.default_backend() == "tpu" else 20)),
             hessian="gauss_newton"),
         # Dual carry ON is the single default (round-3 verdict #6 done
         # condition) — safe because the carry is violation-GATED

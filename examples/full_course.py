@@ -45,8 +45,20 @@ def main():
     # COURSE_DUAL_CARRY=0 flies the carry-free A/B; the gated dual carry
     # is the default (hardware-validated both ways, data/runs/course_tpu*.json)
     dual_carry = os.environ.get("COURSE_DUAL_CARRY", "1") == "1"
+    # COURSE_INNER overrides the per-window inner-iteration budget (the
+    # TPU default of 30 was tuned for the jnp path; the fused kernels may
+    # fly the course on less — each budget is a fresh flight A/B)
+    solver_config = None
+    if os.environ.get("COURSE_INNER"):
+        from aircraft_tpu.config import SolverConfig
+
+        solver_config = SolverConfig(
+            max_al_iters=int(os.environ.get("COURSE_AL", "4")),
+            max_inner_iters=int(os.environ["COURSE_INNER"]),
+            hessian="gauss_newton")
     t0 = time.time()
-    out = solve_full_course(cfg, verbose=True, dual_carry=dual_carry)
+    out = solve_full_course(cfg, verbose=True, dual_carry=dual_carry,
+                            solver_config=solver_config)
     wall = time.time() - t0
 
     states = out["states"]
@@ -110,7 +122,9 @@ def main():
         "speed_range_ms": [round(s, 1) for s in out["speed_range"]],
         "final_altitude_m": round(out["final_altitude"], 1),
     }
-    tag = f"course_{backend}" + ("_carry" if dual_carry else "")
+    tag = (f"course_{backend}" + ("_carry" if dual_carry else "")
+           + (f"_i{os.environ['COURSE_INNER']}"
+              if os.environ.get("COURSE_INNER") else ""))
     path = os.path.join(runs, f"{tag}.json")
     with open(path, "w") as f:
         json.dump(report, f, indent=1)
