@@ -48,6 +48,18 @@ N = 4
 B = 128  # one lane tile — the kernel minimum
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_memory():
+    """The interpret-mode kernels compile very large XLA:CPU programs; at
+    the tail of a full-suite process the accumulated executables exhaust
+    LLVM code-section memory and abort the interpreter (the same limit
+    that forces the ablation grid to shard by subprocess).  Dropping the
+    compilation caches before this module frees the prior ~195 tests'
+    executables."""
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="module")
 def problem():
     cfg = glider_config()
